@@ -1,0 +1,74 @@
+"""Bilinear feature gather at continuous pixel locations.
+
+This is the hot scattered-read op of the whole framework: every ray sample and
+every grasp probe gathers a feature vector from a [H, W, C] feature image at a
+dynamically computed (x, y) location (reference: tfa.image.interpolate_bilinear
+at src/lib/mvnerf/nerf_utils.py:282, src/lib/grasp_mvnerf/model.py:137).
+
+Semantics match tfa.interpolate_bilinear(..., indexing='xy'): query points are
+(x, y) = (column, row) and are clamped so the 2x2 interpolation stencil stays
+in bounds (floor clamped to [0, size-2], like tfa's alpha computed from the
+clamped floor).
+
+Two implementations:
+  * `bilinear_gather` — pure jnp take-based gather; differentiable, works on
+    any backend, and is the autodiff path.
+  * `tcnerf.ops.pallas.bilinear` — Pallas TPU kernel for the forward hot loop
+    (double-buffered row DMA), used inside the fused render kernel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bilinear_gather(images: jnp.ndarray, coords_xy: jnp.ndarray) -> jnp.ndarray:
+    """Gather bilinearly interpolated features.
+
+    images: [B, H, W, C]; coords_xy: [B, N, 2] with (x, y) pixel coordinates.
+    Returns [B, N, C].
+    """
+    h, w = images.shape[1], images.shape[2]
+    x = coords_xy[..., 0]
+    y = coords_xy[..., 1]
+
+    # tfa clamps the *floor* into [0, size-2] and the query into the grid,
+    # computing alphas from the clamped values.
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0.0, w - 2.0)
+    y0 = jnp.clip(jnp.floor(y), 0.0, h - 2.0)
+    ax = (x - x0)[..., None]
+    ay = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = images.reshape(images.shape[0], h * w, images.shape[-1])
+    idx00 = y0i * w + x0i
+    g = lambda idx: jnp.take_along_axis(flat, idx[..., None], axis=1)
+    v00 = g(idx00)
+    v01 = g(idx00 + 1)
+    v10 = g(idx00 + w)
+    v11 = g(idx00 + w + 1)
+
+    top = v00 + ax * (v01 - v00)
+    bottom = v10 + ax * (v11 - v10)
+    return top + ay * (bottom - top)
+
+
+def gather_projection_features(normalized_images: jnp.ndarray, features: jnp.ndarray,
+                               pixel_xy: jnp.ndarray) -> jnp.ndarray:
+    """Concat RGB (normalized to [-1, 1]) with a feature map and sample both at
+    projected pixel locations.
+
+    normalized_images: [B, V, H, W, 3]; features: [B, V, H, W, C];
+    pixel_xy: [B, V, R, S, 2]. Returns [B, V, R, S, C+3].
+    Reference: get_projection_features_mv, nerf_utils.py:277-285.
+    """
+    b, v, h, w, _ = normalized_images.shape
+    r, s = pixel_xy.shape[2], pixel_xy.shape[3]
+    combined = jnp.concatenate([normalized_images, features], axis=-1)
+    combined = combined.reshape(b * v, h, w, combined.shape[-1])
+    coords = pixel_xy.reshape(b * v, r * s, 2)
+    out = bilinear_gather(combined, coords)
+    return out.reshape(b, v, r, s, out.shape[-1])

@@ -1,0 +1,99 @@
+"""Headline benchmark: fused NeRF render throughput (rays/sec/chip).
+
+Measures the hot path of the reference workload — hierarchical volumetric
+rendering at full model scale (64 coarse + 128 fine samples/ray, 6-block
+128-wide MLPs, 480x640x256 feature image, reference configs
+src/configs/nerf_model/default.yaml) — with features precomputed once, exactly
+like the reference's chunked `infer` path (model_v0.py:255-275). The MLP/MXU
+path runs in bfloat16; geometry stays f32.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the 20M rays/sec/chip north-star (BASELINE.json) —
+the reference publishes no numbers of its own.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+NORTH_STAR = 20e6
+
+
+def main():
+    from tcnerf.models.renderer import MVNeRFRenderer
+
+    h, w = 480, 640
+    n_views = 1
+    n_rays = 4096
+    model = MVNeRFRenderer(
+        n_views=n_views, n_samples=64, n_features=256, near=0.3, far=1.3,
+        original_image_size=(h, w), fusion="without", n_blocks=6,
+        hidden_size=128, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    # camera looking at the workspace center from above
+    from tcnerf.data.synthetic import camera_ring
+    cfg = camera_ring(1, height=h, width=w)[0]
+    k4 = np.eye(4, dtype=np.float32)
+    k4[:3, :3] = cfg["intrinsics"].reshape(3, 3)
+    ext_inv = np.linalg.inv(cfg["pose"]).astype(np.float32)
+
+    ray_d = rng.normal(size=(1, n_rays, 3)).astype(np.float32)
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+    ray_o = np.broadcast_to(cfg["pose"][:3, 3].astype(np.float32),
+                            ray_d.shape).copy()
+    src_images = rng.uniform(size=(1, n_views, h, w, 3)).astype(np.float32)
+    src_intr = np.broadcast_to(k4, (1, n_views, 4, 4)).copy()
+    src_ext = np.broadcast_to(ext_inv, (1, n_views, 4, 4)).copy()
+    features = rng.normal(size=(1, n_views, h, w, 256)).astype(np.float32)
+
+    inputs = (jnp.asarray(ray_o), jnp.asarray(ray_d), jnp.asarray(src_images),
+              jnp.asarray(src_intr), jnp.asarray(src_ext))
+    features = jnp.asarray(features, jnp.bfloat16)
+    src_images_b = jnp.asarray(src_images)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        inputs)
+
+    @jax.jit
+    def render(params, ray_o, ray_d, key):
+        out = model.apply({"params": params}, ray_o, ray_d, src_images_b,
+                          inputs[3], inputs[4], features,
+                          rngs={"sampling": key}, method="render_rays")
+        return out[2]  # fine rgb
+
+    params = variables["params"]
+    # warmup/compile
+    render(params, inputs[0], inputs[1], key).block_until_ready()
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = render(params, inputs[0], inputs[1], jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_iters * n_rays / dt
+    print(json.dumps({
+        "metric": "rays/sec/chip (fused hierarchical render, 64+128 samples)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / NORTH_STAR, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

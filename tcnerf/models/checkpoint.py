@@ -1,0 +1,66 @@
+"""Per-component checkpointing.
+
+Keeps the reference's checkpoint *layout* — one file per component with
+suffixes `_coarse_embedding`, `_fine_embedding`, `_visual_features`, ... and a
+load that verifies every component exists before touching the model
+(reference: src/lib/mvnerf/model_v0.py:199-240, grasp load_backbone
+src/lib/grasp_mvnerf/model.py:67-82) — serialized with flax msgpack instead of
+TF checkpoint shards.
+
+Two-tier scheme ('model_final' latest + 'best' by error score) is implemented
+by the training sessions in tcnerf.train.session.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional
+
+import flax.serialization
+import jax
+
+RENDERER_COMPONENTS = ("coarse_embedding", "coarse_readout", "fine_embedding",
+                       "fine_readout", "visual_features", "combine_clip_visual")
+RENDERER_WITHOUT_COMPONENTS = ("coarse_embedding", "coarse_readout",
+                               "fine_embedding", "fine_readout", "visual_features")
+GRASP_COMPONENTS = ("fine_embedding", "visual_features", "grasp_readout")
+BACKBONE_COMPONENTS = ("fine_embedding", "visual_features")
+
+SUFFIX = ".msgpack"
+
+
+def component_path(path: str, component: str) -> str:
+    return f"{path}_{component}{SUFFIX}"
+
+
+def store(path: str, params: Dict, components: Iterable[str]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    for component in components:
+        if component not in params:
+            continue
+        blob = flax.serialization.to_bytes(jax.device_get(params[component]))
+        with open(component_path(path, component), "wb") as f:
+            f.write(blob)
+
+
+def exists(path: str, components: Iterable[str]) -> bool:
+    return all(os.path.exists(component_path(path, c)) for c in components)
+
+
+def load(path: str, params: Dict, components: Iterable[str],
+         verbose: bool = False) -> Optional[Dict]:
+    """Return params with the listed components replaced, or None if any file
+    is missing (all-or-nothing, like the reference's .index checks)."""
+    if not exists(path, components):
+        if verbose:
+            missing = [c for c in components
+                       if not os.path.exists(component_path(path, c))]
+            print(f"checkpoint components missing at {path}: {missing}")
+        return None
+    new_params = dict(params)
+    for component in components:
+        with open(component_path(path, component), "rb") as f:
+            blob = f.read()
+        new_params[component] = flax.serialization.from_bytes(
+            params[component], blob)
+    return new_params

@@ -1,0 +1,102 @@
+"""Full-image rendering (validation/inference).
+
+Reference: module-level render_view (src/lib/mvnerf/model_v0.py:243-281) —
+encode sources once, then 600 sequential host-loop chunks of 512 rays. Here
+the chunk loop is a device-side lax.map inside ONE jitted program: rays are
+generated on device, padded to a chunk multiple, and scanned; only the final
+image crosses back to the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.rays import get_rays_jax
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("apply_fn", "height", "width", "chunk"))
+def _render_all_rays(apply_fn, variables, src_images, src_intrinsics,
+                     src_extrinsics_inv, combined_features, tgt_pose,
+                     tgt_intrinsics3, rng, height: int, width: int, chunk: int):
+    rays_o, rays_d = get_rays_jax(width, height, tgt_pose, tgt_intrinsics3)
+    n = height * width
+    n_pad = (-n) % chunk
+    flat_o = jnp.concatenate(
+        [rays_o.reshape(-1, 3), jnp.zeros((n_pad, 3), rays_o.dtype)])
+    flat_d = jnp.concatenate(
+        [rays_d.reshape(-1, 3), jnp.ones((n_pad, 3), rays_d.dtype)])
+    n_chunks = (n + n_pad) // chunk
+    chunks_o = flat_o.reshape(n_chunks, 1, chunk, 3)
+    chunks_d = flat_d.reshape(n_chunks, 1, chunk, 3)
+    keys = jax.random.split(rng, n_chunks)
+
+    def render_chunk(args):
+        ro, rd, key = args
+        rgb, depth, fine_rgb, fine_depth = apply_fn(
+            variables, ro, rd, src_images, src_intrinsics, src_extrinsics_inv,
+            combined_features, rngs={"sampling": key}, method="render_rays")
+        return fine_rgb[0], fine_depth[0]
+
+    fine_rgb, fine_depth = jax.lax.map(render_chunk, (chunks_o, chunks_d, keys))
+    fine_rgb = fine_rgb.reshape(-1, 3)[:n].reshape(height, width, 3)
+    fine_depth = fine_depth.reshape(-1)[:n].reshape(height, width)
+    return fine_rgb, fine_depth
+
+
+def render_view(model, variables, src_colors, src_camera_configs,
+                tgt_camera_config, rng=None, chunk: Optional[int] = None,
+                clip_outputs=None, clip_textuals=None):
+    """Render the target camera's full view from source images.
+
+    src_colors: list of [H, W, >=3] uint8; camera configs are
+    {'pose': 4x4, 'intrinsics': 9-flat} dicts. Returns (rgb uint8 [H, W, 3],
+    min-max-normalized depth uint8 [H, W, 1]) like the reference.
+    """
+    from ..data.generators import camera_parameters
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    chunk = 512 if chunk is None else chunk
+    h, w = src_colors[0].shape[:2]
+    src_images = np.array([c[..., :3] / 255.0 for c in src_colors],
+                          dtype=np.float32)[None]  # [1, V, H, W, 3]
+    ext_invs, intrs = [], []
+    for cfg in src_camera_configs:
+        ext_inv, k4 = camera_parameters(cfg)
+        ext_invs.append(ext_inv)
+        intrs.append(k4)
+    src_intr = np.asarray(intrs, np.float32)[None]
+    src_ext = np.asarray(ext_invs, np.float32)[None]
+
+    v = src_images.shape[1]
+    flat = jnp.asarray(src_images[0])
+    combined, _ = model.apply(variables, flat, clip_outputs, clip_textuals,
+                              method="combine_features")
+    combined = combined[None]
+
+    tgt_pose = jnp.asarray(tgt_camera_config["pose"], jnp.float32)
+    tgt_intr3 = jnp.asarray(
+        np.reshape(tgt_camera_config["intrinsics"], (3, 3)), jnp.float32)
+
+    fine_rgb, fine_depth = _render_all_rays(
+        model.apply, variables, jnp.asarray(src_images), jnp.asarray(src_intr),
+        jnp.asarray(src_ext), combined, tgt_pose, tgt_intr3, rng, h, w, chunk)
+
+    rgb = np.clip(np.asarray(fine_rgb) * 255, 0, 255).astype(np.uint8)
+    depth = np.asarray(fine_depth)[..., None]
+    denom = max(depth.max() - depth.min(), 1e-12)
+    depth_u8 = ((depth - depth.min()) / denom * 255).astype(np.uint8)
+    return rgb, depth_u8
+
+
+def psnr(pred_u8: np.ndarray, target_u8: np.ndarray) -> float:
+    """PSNR between uint8 images (dB)."""
+    a = pred_u8.astype(np.float64) / 255.0
+    b = target_u8.astype(np.float64) / 255.0
+    mse = float(np.mean((a - b) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-12))

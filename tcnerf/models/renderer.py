@@ -1,0 +1,178 @@
+"""Multi-view pixel-conditioned NeRF renderer (stage-1 model).
+
+Capability parity with reference src/lib/mvnerf/model_v0..v4.py and
+model_without.py — one module covers all six variants via `fusion`:
+  'without'        — no CLIP; visual features upsampled 2x (model_without.py:28-29)
+  'v0'..'v4'       — CLIP RN50 pyramid fused by CombineCLIPVisualV{0..4}
+                     (v3/v4 additionally gate on a text embedding; the pure-NeRF
+                     trainers feed a ones placeholder, model_v3.py:82-84)
+
+TPU-first design notes:
+  * rendering is a pure function of (params, inputs, rng) — the whole
+    coarse->resample->fine pipeline jits into ONE program, no per-chunk host
+    loop (reference chunks 512 rays through tf.function re-entry);
+  * the per-sample MLP sees a [(B*V), R, S, C] layout whose trailing dim is the
+    MLP width, so every Dense is a single large MXU matmul;
+  * full-image inference (`render_image`) lax.scans over ray chunks on device
+    with features encoded once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core import projection, render, sampling
+from ..nn.blocks import RenderReadout
+from ..nn.fusion import (CombineCLIPVisualV0, CombineCLIPVisualV1,
+                         CombineCLIPVisualV2, CombineCLIPVisualV3,
+                         CombineCLIPVisualV4)
+from ..nn.mlp import MVResNetMLPEmbedding
+from ..nn.vit import VisualFeatures
+from ..ops.interpolate import gather_projection_features
+
+FUSIONS = {
+    "v0": CombineCLIPVisualV0,
+    "v1": CombineCLIPVisualV1,
+    "v2": CombineCLIPVisualV2,
+    "v3": CombineCLIPVisualV3,
+    "v4": CombineCLIPVisualV4,
+}
+
+
+class MVNeRFRenderer(nn.Module):
+    n_views: int = 2
+    n_samples: int = 64
+    n_features: int = 256
+    embed_direction_vector: bool = True
+    near: float = 0.7
+    far: float = 1.5
+    original_image_size: Tuple[int, int] = (480, 640)
+    fusion: str = "v0"
+    n_blocks: int = 6
+    hidden_size: int = 128
+    # encoder scaling knobs (reference pins ViT-B/16 at 224^2; tests shrink it)
+    vit_size: Tuple[int, int] = (224, 224)
+    vit_patch: int = 16
+    vit_dim: int = 768
+    vit_heads: int = 12
+    vit_hooks: Sequence[int] = (3, 6, 9, 12)
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        kw = dict(n_blocks=self.n_blocks, hidden_size=self.hidden_size,
+                  n_views=self.n_views,
+                  embed_direction_vector=self.embed_direction_vector,
+                  dtype=self.dtype)
+        self.coarse_embedding = MVResNetMLPEmbedding(**kw)
+        self.coarse_readout = RenderReadout(4, dtype=self.dtype)
+        self.fine_embedding = MVResNetMLPEmbedding(**kw)
+        self.fine_readout = RenderReadout(4, dtype=self.dtype)
+        self.visual_features = VisualFeatures(
+            n_features=self.n_features, original_image_size=self.original_image_size,
+            vit_size=self.vit_size, patch_size=self.vit_patch, embed_dim=self.vit_dim,
+            num_heads=self.vit_heads, hooks=self.vit_hooks, dtype=self.dtype)
+        if self.fusion != "without":
+            from ..clip.model import CLIPVisualEncoder
+            self.clip_visual = CLIPVisualEncoder(dtype=self.dtype)
+            self.combine_clip_visual = FUSIONS[self.fusion](dtype=self.dtype)
+
+    # ------------------------------------------------------------- feature path
+
+    def encode(self, src_images_flat):
+        """[B*V, H, W, 3] -> visual feature map [B*V, H/2, W/2, n_features]."""
+        return self.visual_features(src_images_flat)
+
+    def combine_features(self, src_images_flat, clip_outputs=None, clip_textuals=None):
+        """Full fused feature image [B*V, H, W, n_features] (+ aux loss).
+
+        For CLIP variants the caller supplies `clip_outputs` from the frozen
+        CLIP tower (tcnerf.clip); for 'without' the visual features are
+        upsampled 2x (reference model_without.py:75-79).
+        """
+        vis = self.encode(src_images_flat)
+        if self.fusion == "without":
+            n, h, w, c = vis.shape
+            up = jax.image.resize(vis, (n, h * 2, w * 2, c), method="bilinear")
+            return up, jnp.array(0.0, dtype=up.dtype)
+        if clip_outputs is None:
+            from ..clip.preprocess import preprocess
+            clip_outputs = self.clip_visual(preprocess(src_images_flat))
+        if clip_textuals is None:
+            clip_textuals = jnp.ones((src_images_flat.shape[0], 1024), vis.dtype)
+        return self.combine_clip_visual(clip_outputs, vis, clip_textuals)
+
+    # ---------------------------------------------------------------- rendering
+
+    def render_rays(self, ray_origins, ray_directions, src_images, src_intrinsics,
+                    src_extrinsics_inv, combined_features):
+        """Hierarchical render of a ray batch.
+
+        ray_origins/directions: [B, R, 3]; src_images: [B, V, H, W, 3];
+        intrinsics/extrinsics_inv: [B, V, 4, 4];
+        combined_features: [B, V, H, W, C].
+        Returns (rgb, depth, fine_rgb, fine_depth).
+        Reference: model_v0.py:102-184.
+        """
+        normalized = src_images * 2.0 - 1.0
+        key_c = self.make_rng("sampling")
+        key_f = self.make_rng("sampling")
+
+        world_points, z = sampling.sample_along_ray(
+            key_c, ray_origins, ray_directions, self.near, self.far, self.n_samples)
+        cam_dirs = projection.world_to_camera_directions_mv(
+            ray_directions, src_extrinsics_inv)  # [B, V, R, 3]
+
+        chroma, density = self._field(
+            world_points, z, cam_dirs, normalized, src_intrinsics,
+            src_extrinsics_inv, combined_features, self.coarse_embedding,
+            self.coarse_readout)
+        rgb, depth, weights = render.volumetric_render(z, density, chroma)
+
+        z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+        probs = weights[..., 1:-1]
+        z_fine = sampling.sample_pdf(key_f, z_mid, probs, self.n_samples)
+        all_z = jnp.sort(jnp.concatenate([z, z_fine], axis=-1), axis=-1)
+        fine_points = (ray_origins[:, :, None, :]
+                       + all_z[..., None] * ray_directions[:, :, None, :])
+
+        fine_chroma, fine_density = self._field(
+            fine_points, all_z, cam_dirs, normalized, src_intrinsics,
+            src_extrinsics_inv, combined_features, self.fine_embedding,
+            self.fine_readout)
+        fine_rgb, fine_depth, _ = render.volumetric_render(
+            all_z, fine_density, fine_chroma)
+        return rgb, depth, fine_rgb, fine_depth
+
+    def _field(self, world_points, z, cam_dirs, normalized_images, src_intrinsics,
+               src_extrinsics_inv, combined_features, embedding, readout):
+        b, r, s, _ = world_points.shape
+        v = normalized_images.shape[1]
+        pixel_xy, cam_points = projection.project_points_mv(
+            world_points, src_intrinsics, src_extrinsics_inv)
+        feats = gather_projection_features(normalized_images, combined_features,
+                                           pixel_xy)  # [B, V, R, S, C+3]
+        dirs = jnp.broadcast_to(cam_dirs[:, :, :, None, :], (b, v, r, s, 3))
+
+        flat = lambda x: x.reshape((b * v, r, s, x.shape[-1]))
+        emb = embedding(flat(cam_points[..., :3]), flat(dirs), flat(feats))
+        chroma, density = readout(emb)  # [B, R, S, 3], [B, R, S]
+        return chroma, density
+
+    def __call__(self, inputs, clip_outputs=None, clip_textuals=None):
+        """Full train path: encode + fuse features, render (reference call :75-87).
+
+        inputs = (ray_origins, ray_directions, src_images, src_intrinsics,
+                  src_extrinsics_inv).
+        """
+        ray_o, ray_d, src_images, src_intr, src_ext_inv = inputs
+        b, v = src_images.shape[0], src_images.shape[1]
+        flat_images = src_images.reshape((b * v,) + src_images.shape[2:])
+        combined, aux = self.combine_features(flat_images, clip_outputs, clip_textuals)
+        combined = combined.reshape((b, v) + combined.shape[1:])
+        out = self.render_rays(ray_o, ray_d, src_images, src_intr, src_ext_inv,
+                               combined)
+        return out + (aux,)

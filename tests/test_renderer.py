@@ -1,0 +1,166 @@
+"""End-to-end tests for the NeRF renderer family: init/shape contracts and a
+tiny-scene overfit run (the CPU-runnable slice of BASELINE.json config 1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tcnerf.core.rays import get_specific_rays, bbox_biased_sample
+from tcnerf.data.synthetic import SyntheticScene, generate_views
+from tcnerf.models.renderer import MVNeRFRenderer
+from tcnerf.models import training as T
+from tcnerf.models import checkpoint as ckpt
+
+H, W = 48, 64
+N_VIEWS = 2
+TINY = dict(
+    n_views=N_VIEWS, n_samples=8, n_features=32, near=0.3, far=1.6,
+    original_image_size=(H, W), fusion="without", n_blocks=2, hidden_size=32,
+    vit_size=(32, 32), vit_patch=16, vit_dim=32, vit_heads=2, vit_hooks=(1, 2, 3, 4),
+)
+
+
+def make_batch(scene, colors, configs, rng, n_rays=64, batch_size=1):
+    ray_os, ray_ds, targets = [], [], []
+    srcs, intrs, exts = [], [], []
+    n_persp = len(configs)
+    for _ in range(batch_size):
+        idx = rng.choice(n_persp, size=N_VIEWS + 1, replace=False)
+        tgt = idx[-1]
+        pix = bbox_biased_sample(rng, n_rays, (0, 0, H, W), H, W)
+        u, v = pix[:, 1].astype(np.float32), pix[:, 0].astype(np.float32)
+        intr3 = configs[tgt]["intrinsics"].reshape(3, 3)
+        ro, rd = get_specific_rays(u, v, configs[tgt]["pose"], intr3)
+        ray_os.append(ro)
+        ray_ds.append(rd)
+        targets.append(colors[tgt][pix[:, 0], pix[:, 1], :3] / 255.0)
+        src_imgs, src_intr, src_ext = [], [], []
+        for s in idx[:-1]:
+            src_imgs.append(colors[s][..., :3] / 255.0)
+            k4 = np.eye(4)
+            k4[:3, :3] = configs[s]["intrinsics"].reshape(3, 3)
+            src_intr.append(k4)
+            src_ext.append(np.linalg.inv(configs[s]["pose"]))
+        srcs.append(src_imgs)
+        intrs.append(src_intr)
+        exts.append(src_ext)
+    inputs = (
+        jnp.asarray(np.array(ray_os, np.float32)),
+        jnp.asarray(np.array(ray_ds, np.float32)),
+        jnp.asarray(np.array(srcs, np.float32)),
+        jnp.asarray(np.array(intrs, np.float32)),
+        jnp.asarray(np.array(exts, np.float32)),
+    )
+    return inputs, jnp.asarray(np.array(targets, np.float32))
+
+
+@pytest.fixture(scope="module")
+def scene_data():
+    scene = SyntheticScene.random(0, n_spheres=3)
+    colors, configs = generate_views(scene, 6, height=H, width=W,
+                                     radius=1.0, polar=0.6)
+    return scene, colors, configs
+
+
+class TestRendererForward:
+    def test_shapes_and_determinism(self, scene_data):
+        scene, colors, configs = scene_data
+        rng = np.random.default_rng(1)
+        inputs, labels = make_batch(scene, colors, configs, rng, n_rays=16)
+        model = MVNeRFRenderer(**TINY)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "sampling": jax.random.PRNGKey(1)}, inputs)
+        rgb, depth, fine_rgb, fine_depth, aux = model.apply(
+            variables, inputs, rngs={"sampling": jax.random.PRNGKey(2)})
+        assert rgb.shape == (1, 16, 3) and fine_rgb.shape == (1, 16, 3)
+        assert depth.shape == (1, 16) and fine_depth.shape == (1, 16)
+        assert float(aux) == 0.0
+        assert np.isfinite(np.asarray(rgb)).all()
+        assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+        # same rng -> identical output (deterministic sampling)
+        rgb2, *_ = model.apply(variables, inputs, rngs={"sampling": jax.random.PRNGKey(2)})
+        np.testing.assert_array_equal(np.asarray(rgb), np.asarray(rgb2))
+
+    def test_depth_in_near_far(self, scene_data):
+        scene, colors, configs = scene_data
+        rng = np.random.default_rng(2)
+        inputs, _ = make_batch(scene, colors, configs, rng, n_rays=16)
+        model = MVNeRFRenderer(**TINY)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "sampling": jax.random.PRNGKey(1)}, inputs)
+        _, depth, _, fine_depth, _ = model.apply(
+            variables, inputs, rngs={"sampling": jax.random.PRNGKey(3)})
+        assert np.asarray(depth).max() <= TINY["far"] + 1e-4
+        assert np.asarray(fine_depth).min() >= 0.0
+
+
+class TestRendererTraining:
+    def test_overfit_tiny_scene(self, scene_data):
+        scene, colors, configs = scene_data
+        rng = np.random.default_rng(3)
+        model = MVNeRFRenderer(**TINY)
+        inputs0, labels0 = make_batch(scene, colors, configs, rng)
+        tx = T.make_nerf_optimizer(nerf_lr=5e-3, feature_lr=5e-4, warmup_steps=10,
+                                   scale_down_after=10**9)
+        state = T.create_train_state(model, jax.random.PRNGKey(0), inputs0, tx=tx)
+
+        key = jax.random.PRNGKey(42)
+        losses = []
+        for i in range(30):
+            key, k1 = jax.random.split(key)
+            inputs, labels = make_batch(scene, colors, configs, rng)
+            state, metrics = T.nerf_train_step(state, inputs, labels, k1)
+            losses.append(float(metrics["loss"]))
+        first = np.mean(losses[:5])
+        last = np.mean(losses[-5:])
+        assert np.isfinite(losses).all()
+        assert last < 0.75 * first, f"loss did not decrease: {first} -> {last}"
+
+    def test_frozen_group_and_multi_lr_routing(self, scene_data):
+        scene, colors, configs = scene_data
+        rng = np.random.default_rng(4)
+        inputs, labels = make_batch(scene, colors, configs, rng, n_rays=8)
+        model = MVNeRFRenderer(**TINY)
+        tx = T.make_nerf_optimizer(nerf_lr=1e-3, feature_lr=1e-4, warmup_steps=1,
+                                   scale_down_after=10**9)
+        state = T.create_train_state(model, jax.random.PRNGKey(0), inputs, tx=tx)
+        before = jax.tree_util.tree_map(np.asarray, state.params)
+        state2, _ = T.nerf_train_step(state, inputs, labels, jax.random.PRNGKey(5))
+        after = state2.params
+        # nerf group moved
+        moved = np.abs(
+            np.asarray(after["coarse_embedding"]["layer_0"]["kernel"])
+            - before["coarse_embedding"]["layer_0"]["kernel"]).max()
+        assert moved > 0
+        # encoder group also trains (smaller LR)
+        moved_f = np.abs(
+            np.asarray(after["visual_features"]["conv_features"]["stem_conv"]["kernel"])
+            - before["visual_features"]["conv_features"]["stem_conv"]["kernel"]).max()
+        assert moved_f > 0
+
+
+class TestCheckpoint:
+    def test_store_load_roundtrip(self, scene_data, tmp_path):
+        scene, colors, configs = scene_data
+        rng = np.random.default_rng(5)
+        inputs, _ = make_batch(scene, colors, configs, rng, n_rays=8)
+        model = MVNeRFRenderer(**TINY)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "sampling": jax.random.PRNGKey(1)}, inputs)
+        params = variables["params"]
+        path = str(tmp_path / "model_final")
+        comps = ckpt.RENDERER_WITHOUT_COMPONENTS
+        ckpt.store(path, params, comps)
+        assert ckpt.exists(path, comps)
+        zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+        restored = ckpt.load(path, zeroed, comps)
+        assert restored is not None
+        orig = np.asarray(params["fine_embedding"]["layer_0"]["kernel"])
+        np.testing.assert_array_equal(
+            np.asarray(restored["fine_embedding"]["layer_0"]["kernel"]), orig)
+
+    def test_load_missing_returns_none(self, tmp_path):
+        assert ckpt.load(str(tmp_path / "nope"), {"fine_embedding": {}},
+                         ("fine_embedding",)) is None

@@ -64,9 +64,13 @@ def main():
     features = jnp.asarray(features, jnp.bfloat16)
     src_images_b = jnp.asarray(src_images)
 
+    # init only the render-path params (embedding MLPs + readouts) — going
+    # through __call__ would also trace/compile the ViT+conv encoder towers,
+    # which the feature-precomputed render benchmark never executes.
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
-        inputs)
+        inputs[0], inputs[1], src_images_b, inputs[3], inputs[4], features,
+        method="render_rays")
 
     @jax.jit
     def render(params, ray_o, ray_d, key):

@@ -203,20 +203,36 @@ class TextTransformer(nn.Module):
 
 
 class CLIPVisualEncoder(nn.Module):
-    """Frozen RN50 image tower (reference src/lib/clip/model.py:21-27)."""
+    """Frozen RN50 image tower (reference src/lib/clip/model.py:21-27).
 
+    Size knobs default to RN50; tests shrink them.
+    """
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    output_dim: int = 1024
+    heads: int = 32
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, images):
-        return ModifiedResNet(dtype=self.dtype, name="visual")(images)
+        return ModifiedResNet(layers=self.layers, width=self.width,
+                              output_dim=self.output_dim, heads=self.heads,
+                              dtype=self.dtype, name="visual")(images)
 
 
 class CLIPTextualEncoder(nn.Module):
     """Frozen text tower (reference src/lib/clip/model.py:30-37)."""
 
+    width: int = 512
+    heads: int = 8
+    n_layers: int = 12
+    output_dim: int = 1024
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, tokens):
-        return TextTransformer(dtype=self.dtype, name="text")(tokens)
+        return TextTransformer(width=self.width, heads=self.heads,
+                               n_layers=self.n_layers,
+                               output_dim=self.output_dim,
+                               dtype=self.dtype, name="text")(tokens)

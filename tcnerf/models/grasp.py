@@ -83,6 +83,13 @@ class GraspEBM(nn.Module):
     fusion: Optional[str] = None
     fusion_use_dense: bool = True
     fusion_activation: str = "elu"
+    # CLIP tower size knobs (RN50 defaults; tests shrink them)
+    clip_layers: Sequence[int] = (3, 4, 6, 3)
+    clip_width: int = 64
+    clip_embed_dim: int = 1024
+    clip_text_width: int = 512
+    clip_text_layers: int = 12
+    clip_image_size: int = 224
     vit_size: Tuple[int, int] = (224, 224)
     vit_patch: int = 16
     vit_dim: int = 768
@@ -107,8 +114,14 @@ class GraspEBM(nn.Module):
             from ..clip.model import CLIPTextualEncoder, CLIPVisualEncoder
             from ..nn.fusion import (CombineCLIPVisualV3, CombineCLIPVisualV4)
             from ..nn import fusion as fusion_mod
-            self.clip_visual = CLIPVisualEncoder(dtype=self.dtype)
-            self.clip_textual = CLIPTextualEncoder(dtype=self.dtype)
+            self.clip_visual = CLIPVisualEncoder(
+                layers=tuple(self.clip_layers), width=self.clip_width,
+                output_dim=self.clip_embed_dim,
+                heads=max(self.clip_width // 2, 1), dtype=self.dtype)
+            self.clip_textual = CLIPTextualEncoder(
+                width=self.clip_text_width, n_layers=self.clip_text_layers,
+                heads=max(self.clip_text_width // 64, 1),
+                output_dim=self.clip_embed_dim, dtype=self.dtype)
             cls = {"v0": fusion_mod.CombineCLIPVisualV0,
                    "v1": fusion_mod.CombineCLIPVisualV1,
                    "v2": fusion_mod.CombineCLIPVisualV2,
@@ -152,10 +165,10 @@ class GraspEBM(nn.Module):
         from ..clip.preprocess import preprocess
         b, v = src_images.shape[0], src_images.shape[1]
         flat = src_images.reshape((b * v,) + src_images.shape[2:])
-        clip_outputs = self.clip_visual(preprocess(flat))
+        clip_outputs = self.clip_visual(preprocess(flat, self.clip_image_size))
         vis = self.visual_features(flat)
         if clip_tokens is None:
-            textuals = jnp.ones((b * v, 1024), vis.dtype)
+            textuals = jnp.ones((b * v, self.clip_embed_dim), vis.dtype)
         else:
             textuals = self.clip_textual(clip_tokens)  # [B, 1024]
             textuals = jnp.repeat(textuals, v, axis=0)

@@ -60,6 +60,11 @@ class MVNeRFRenderer(nn.Module):
     vit_dim: int = 768
     vit_heads: int = 12
     vit_hooks: Sequence[int] = (3, 6, 9, 12)
+    # CLIP tower size knobs (RN50 defaults; tests shrink them)
+    clip_layers: Sequence[int] = (3, 4, 6, 3)
+    clip_width: int = 64
+    clip_embed_dim: int = 1024
+    clip_image_size: int = 224
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -77,7 +82,10 @@ class MVNeRFRenderer(nn.Module):
             num_heads=self.vit_heads, hooks=self.vit_hooks, dtype=self.dtype)
         if self.fusion != "without":
             from ..clip.model import CLIPVisualEncoder
-            self.clip_visual = CLIPVisualEncoder(dtype=self.dtype)
+            self.clip_visual = CLIPVisualEncoder(
+                layers=tuple(self.clip_layers), width=self.clip_width,
+                output_dim=self.clip_embed_dim,
+                heads=max(self.clip_width // 2, 1), dtype=self.dtype)
             self.combine_clip_visual = FUSIONS[self.fusion](dtype=self.dtype)
 
     # ------------------------------------------------------------- feature path
@@ -100,9 +108,11 @@ class MVNeRFRenderer(nn.Module):
             return up, jnp.array(0.0, dtype=up.dtype)
         if clip_outputs is None:
             from ..clip.preprocess import preprocess
-            clip_outputs = self.clip_visual(preprocess(src_images_flat))
+            clip_outputs = self.clip_visual(
+                preprocess(src_images_flat, self.clip_image_size))
         if clip_textuals is None:
-            clip_textuals = jnp.ones((src_images_flat.shape[0], 1024), vis.dtype)
+            clip_textuals = jnp.ones(
+                (src_images_flat.shape[0], self.clip_embed_dim), vis.dtype)
         return self.combine_clip_visual(clip_outputs, vis, clip_textuals)
 
     # ---------------------------------------------------------------- rendering

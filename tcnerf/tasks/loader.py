@@ -19,6 +19,7 @@ _BUILTIN_PLUGINS = {
     "insertion": "tcnerf.tasks.plugins.oracles.insertion",
     "pick_and_place": "tcnerf.tasks.plugins.primitives.pick_and_place",
     "objects": "tcnerf.tasks.plugins.objects.base",
+    "virtual_scene": "tcnerf.tasks.plugins.scenes.virtual",
 }
 
 

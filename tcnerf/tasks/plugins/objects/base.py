@@ -107,3 +107,33 @@ def register() -> None:
     factory.register_object("scene_object", SceneObject)
     factory.register_object("pick_object", PickObject)
     factory.register_object("target_object", TargetObject)
+    factory.register_object("sphere_object", SphereObject)
+
+
+@dataclass
+class SphereObject(SceneObject):
+    """Procedural sphere pickable from the top — used by the virtual-scene data
+    collection pipeline (no URDF assets required)."""
+
+    static: bool = False
+    radius: float = 0.04
+    color: tuple = (0.8, 0.3, 0.3)
+
+    def __post_init__(self):
+        if self.min_dist == 0.0:
+            self.min_dist = self.radius
+
+    def get_valid_poses(self) -> List[Affine]:
+        # top-down grasp at the sphere apex, gripper z pointing down
+        flip = Affine(rotation=np.diag([1.0, -1.0, -1.0]))
+        return [Affine(translation=[0, 0, self.radius]) * flip]
+
+    def compute_pose_errors(self, gripper_pose: Affine,
+                            rotational_symmetries: int = 1) -> List[Tuple[float, float]]:
+        valid = self.pose * self.get_valid_poses()[0]
+        t_error = float(np.linalg.norm(valid.translation
+                                       - gripper_pose.translation))
+        # spheres are grasp-rotation invariant about z; error = z-axis tilt
+        cos = float(np.clip(np.dot(valid.rotation[:, 2],
+                                   gripper_pose.rotation[:, 2]), -1, 1))
+        return [(t_error, float(np.arccos(cos)))]

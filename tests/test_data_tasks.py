@@ -248,3 +248,30 @@ class TestTokenizer:
             tokenize(text)
         toks = tokenize(text, truncate=True)
         assert toks.shape == (1, 77)
+
+
+class TestNativeRuntime:
+    def test_native_matches_numpy(self):
+        from tcnerf.utils import native
+        from tcnerf.core.rays import get_specific_rays
+
+        intr = np.array([[90.0, 0, 20], [0, 90.0, 16], [0, 0, 1]])
+        extr = np.eye(4)
+        extr[:3, 3] = [0.5, -0.2, 1.0]
+        u = np.arange(12, dtype=np.float32)
+        v = u * 0.5
+        ro_n, rd_n = native.rays_from_pixels(u, v, extr, intr)
+        ro_p, rd_p = get_specific_rays(u, v, extr, intr)
+        np.testing.assert_allclose(rd_n, rd_p, atol=1e-6)
+        np.testing.assert_allclose(ro_n, ro_p, atol=1e-6)
+
+    def test_u8_conversion_and_gather(self, rng):
+        from tcnerf.utils import native
+
+        img = rng.integers(0, 255, size=(6, 8, 4)).astype(np.uint8)
+        np.testing.assert_allclose(native.u8_to_f32_rgb(img),
+                                   img[..., :3] / 255.0, atol=1e-6)
+        pix = np.array([[1, 2], [5, 7]], np.int32)
+        np.testing.assert_allclose(native.gather_target_rgb(img, pix),
+                                   img[pix[:, 0], pix[:, 1], :3] / 255.0,
+                                   atol=1e-6)

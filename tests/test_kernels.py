@@ -1,0 +1,275 @@
+"""Pallas kernel parity tests (interpret mode on CPU) and CLIP tower tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tcnerf.ops.pallas.resmlp import (resmlp_reference, resmlp_rows,
+                                      _flatten_params)
+
+
+def _random_weights(rng, d_in, hidden, n_blocks, readout_dim=None):
+    def w(shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.1)
+
+    flat = [w((d_in, hidden)), w((hidden,))]
+    for _ in range(n_blocks):
+        flat += [w((hidden, hidden)), w((hidden,)),
+                 w((hidden, hidden)), w((hidden,))]
+    if readout_dim:
+        flat += [w((hidden, readout_dim)), w((readout_dim,))]
+    return flat
+
+
+class TestResMLPKernel:
+    @pytest.mark.parametrize("readout", [False, True])
+    def test_parity_vs_reference(self, rng, readout):
+        d_in, hidden, n_blocks = 64, 128, 3
+        flat = _random_weights(rng, d_in, hidden, n_blocks,
+                               readout_dim=4 if readout else None)
+        x = jnp.asarray(rng.normal(size=(300, d_in)).astype(np.float32))
+        got = resmlp_rows(x, tuple(flat), n_blocks, readout=readout,
+                          tile=128, interpret=True)
+        want = resmlp_reference(x, flat, n_blocks, readout=readout)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_parity_vs_flax_module(self, rng):
+        """The kernel must reproduce MVResNetMLPEmbedding's fused-view path
+        (n_views=1) bit-for-bit up to f32 tolerance."""
+        from tcnerf.nn.mlp import MVResNetMLPEmbedding
+
+        n_blocks, hidden = 2, 32
+        model = MVResNetMLPEmbedding(n_blocks=n_blocks, hidden_size=hidden,
+                                     n_views=1, embed_direction_vector=True)
+        pos = jnp.asarray(rng.normal(size=(1, 4, 8, 3)).astype(np.float32))
+        dirs = jnp.asarray(rng.normal(size=(1, 4, 8, 3)).astype(np.float32))
+        feats = jnp.asarray(rng.normal(size=(1, 4, 8, 16)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), pos, dirs, feats)["params"]
+        want = model.apply({"params": params}, pos, dirs, feats)
+
+        from tcnerf.core.encoding import positional_encoding
+
+        x = jnp.concatenate([positional_encoding(pos, 10),
+                             positional_encoding(dirs, 10), feats], axis=-1)
+        x = x.reshape(-1, x.shape[-1])
+        # n_views=1: feature blocks then fusion blocks form one linear chain
+        flat = [params["layer_0"]["kernel"], params["layer_0"]["bias"]]
+        for name in ["feature_block_0", "fusion_block_0"]:
+            block = params[name]
+            flat += [block["layer_0"]["kernel"], block["layer_0"]["bias"],
+                     block["layer_1"]["kernel"], block["layer_1"]["bias"]]
+        got = resmlp_rows(x, tuple(flat), n_blocks=2, tile=128, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(np.asarray(want).shape), np.asarray(want),
+            rtol=2e-5, atol=2e-5)
+
+    def test_row_padding(self, rng):
+        """Rows not a multiple of the tile are padded and cropped correctly."""
+        flat = _random_weights(rng, 16, 32, 1)
+        x = jnp.asarray(rng.normal(size=(77, 16)).astype(np.float32))
+        got = resmlp_rows(x, tuple(flat), 1, tile=64, interpret=True)
+        want = resmlp_reference(x, flat, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+class TestCLIPTowers:
+    def test_visual_pyramid_shapes(self, rng):
+        from tcnerf.clip.model import ModifiedResNet
+
+        model = ModifiedResNet(layers=(1, 1, 1, 1), width=8, output_dim=16,
+                               heads=2)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        emb, l1, l2, l3, l4 = model.apply({"params": params}, x)
+        assert emb.shape == (1, 16)
+        assert l1.shape == (1, 16, 16, 32)   # /4, width*4
+        assert l2.shape == (1, 8, 8, 64)
+        assert l3.shape == (1, 4, 4, 128)
+        assert l4.shape == (1, 2, 2, 256)
+
+    def test_text_tower_uses_eot_position(self, rng):
+        from tcnerf.clip.model import TextTransformer
+        from tcnerf.clip.tokenizer import tokenize
+
+        model = TextTransformer(width=32, heads=2, n_layers=2, output_dim=16,
+                                context_length=77)
+        tokens = jnp.asarray(tokenize(["red ball", "a much longer instruction"]))
+        params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+        out = model.apply({"params": params}, tokens)
+        assert out.shape == (2, 16)
+        assert np.isfinite(np.asarray(out)).all()
+        # padding beyond EOT must not change the embedding
+        tokens2 = np.asarray(tokens).copy()
+        eot = int(np.argmax(tokens2[0]))
+        tokens2[0, eot + 1:] = 0  # already zero, but ensure
+        out2 = model.apply({"params": params}, jnp.asarray(tokens2))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+    def test_torch_import_tree_matches(self, rng):
+        """Synthetic torch state dict -> imported tree must shape-match init."""
+        from tcnerf.clip.model import ModifiedResNet
+        from tcnerf.clip.import_torch import import_clip_rn50_visual
+
+        layers, width, heads, out_dim = (1, 1, 1, 1), 8, 2, 16
+        model = ModifiedResNet(layers=layers, width=width, output_dim=out_dim,
+                               heads=heads)
+        x = jnp.ones((1, 32, 32, 3))
+        want = model.init(jax.random.PRNGKey(0), x)["params"]
+
+        # build a fake torch-layout state dict with transposed conv shapes
+        sd = {}
+
+        def add_conv(name, flax_kernel):
+            kh, kw, cin, cout = np.asarray(flax_kernel).shape
+            sd[name + ".weight"] = rng.normal(size=(cout, cin, kh, kw)).astype(
+                np.float32)
+
+        def add_bn(name, c):
+            sd[name + ".weight"] = np.ones(c, np.float32)
+            sd[name + ".bias"] = np.zeros(c, np.float32)
+            sd[name + ".running_mean"] = np.zeros(c, np.float32)
+            sd[name + ".running_var"] = np.ones(c, np.float32)
+
+        v = want["visual"]
+        for i in (1, 2, 3):
+            add_conv(f"visual.conv{i}", v[f"stem_conv{i}"]["kernel"])
+            add_bn(f"visual.bn{i}", v[f"stem_bn{i}"]["scale"].shape[0])
+        for stage in range(4):
+            block = v[f"layer{stage + 1}_0"]
+            pre = f"visual.layer{stage + 1}.0"
+            for conv in ("conv1", "conv2", "conv3"):
+                add_conv(f"{pre}.{conv}", block[conv]["kernel"])
+            for bn in ("bn1", "bn2", "bn3"):
+                add_bn(f"{pre}.{bn}", block[bn]["scale"].shape[0])
+            if "downsample_conv" in block:
+                add_conv(f"{pre}.downsample.0", block["downsample_conv"]["kernel"])
+                add_bn(f"{pre}.downsample.1",
+                       block["downsample_bn"]["scale"].shape[0])
+        ap = v["attnpool"]
+        c = ap["positional_embedding"].shape[1]
+        sd["visual.attnpool.positional_embedding"] = rng.normal(
+            size=ap["positional_embedding"].shape).astype(np.float32)
+        for proj in ("q", "k", "v"):
+            sd[f"visual.attnpool.{proj}_proj.weight"] = rng.normal(
+                size=(c, c)).astype(np.float32)
+            sd[f"visual.attnpool.{proj}_proj.bias"] = np.zeros(c, np.float32)
+        sd["visual.attnpool.c_proj.weight"] = rng.normal(
+            size=(out_dim, c)).astype(np.float32)
+        sd["visual.attnpool.c_proj.bias"] = np.zeros(out_dim, np.float32)
+
+        got = import_clip_rn50_visual(sd, layers=layers, heads=heads)
+        want_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, want)
+        got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, got)
+        assert want_shapes == got_shapes
+
+    def test_vit_import_tree_matches(self, rng):
+        from tcnerf.nn.vit import VisionTransformer
+        from tcnerf.clip.import_torch import import_vit_b
+
+        model = VisionTransformer(img_size=(32, 32), patch_size=16,
+                                  embed_dim=24, num_heads=2, mlp_ratio=2,
+                                  hooks=(1, 2))
+        x = jnp.ones((1, 32, 32, 3))
+        want = model.init(jax.random.PRNGKey(0), x)["params"]
+
+        d = 24
+        sd = {
+            "cls_token": np.zeros((1, 1, d), np.float32),
+            "pos_embed": np.zeros((1, 5, d), np.float32),
+            "patch_embed.proj.weight": rng.normal(size=(d, 3, 16, 16)).astype(
+                np.float32),
+            "patch_embed.proj.bias": np.zeros(d, np.float32),
+        }
+        for i in range(2):
+            pre = f"blocks.{i}"
+            sd[f"{pre}.norm1.weight"] = np.ones(d, np.float32)
+            sd[f"{pre}.norm1.bias"] = np.zeros(d, np.float32)
+            sd[f"{pre}.norm2.weight"] = np.ones(d, np.float32)
+            sd[f"{pre}.norm2.bias"] = np.zeros(d, np.float32)
+            sd[f"{pre}.attn.qkv.weight"] = rng.normal(size=(3 * d, d)).astype(
+                np.float32)
+            sd[f"{pre}.attn.qkv.bias"] = np.zeros(3 * d, np.float32)
+            sd[f"{pre}.attn.proj.weight"] = rng.normal(size=(d, d)).astype(
+                np.float32)
+            sd[f"{pre}.attn.proj.bias"] = np.zeros(d, np.float32)
+            sd[f"{pre}.mlp.fc1.weight"] = rng.normal(size=(2 * d, d)).astype(
+                np.float32)
+            sd[f"{pre}.mlp.fc1.bias"] = np.zeros(2 * d, np.float32)
+            sd[f"{pre}.mlp.fc2.weight"] = rng.normal(size=(d, 2 * d)).astype(
+                np.float32)
+            sd[f"{pre}.mlp.fc2.bias"] = np.zeros(d, np.float32)
+
+        got = import_vit_b(sd, n_blocks=2, n_heads=2)
+        want_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, want)
+        got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, got)
+        assert want_shapes == got_shapes
+
+
+class TestCLIPPreprocess:
+    def test_output_shape_and_standardization(self, rng):
+        from tcnerf.clip.preprocess import preprocess
+
+        x = jnp.asarray(rng.uniform(size=(2, 48, 64, 3)).astype(np.float32))
+        out = preprocess(x, to_size=32)
+        assert out.shape == (2, 32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_constant_image_maps_to_known_value(self):
+        from tcnerf.clip.preprocess import preprocess, CLIP_MEAN, CLIP_STD
+
+        x = jnp.full((1, 64, 64, 3), 0.5)
+        out = np.asarray(preprocess(x, to_size=32))
+        want = (0.5 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+        np.testing.assert_allclose(out[0, 16, 16], want, atol=1e-3)
+
+
+class TestHashGrid:
+    def test_shapes_and_determinism(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from tcnerf.ops.hashgrid import (HashGridConfig, hash_encode,
+                                         init_hash_params)
+
+        cfg = HashGridConfig(n_levels=4, table_size_log2=8,
+                             base_resolution=4, finest_resolution=32)
+        tables = init_hash_params(jax.random.PRNGKey(0), cfg)
+        assert tables.shape == (4, 256, 2)
+        x = jnp.asarray(rng.uniform(0.4, 0.8, size=(5, 7, 3)).astype(np.float32))
+        out = hash_encode(tables, x, cfg)
+        assert out.shape == (5, 7, cfg.out_dim)
+        out2 = hash_encode(tables, x, cfg)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_continuity(self, rng):
+        """Trilinear interpolation => nearby points get nearby encodings."""
+        import jax
+        import jax.numpy as jnp
+        from tcnerf.ops.hashgrid import (HashGridConfig, hash_encode,
+                                         init_hash_params)
+
+        cfg = HashGridConfig(n_levels=2, table_size_log2=8,
+                             base_resolution=4, finest_resolution=8)
+        tables = init_hash_params(jax.random.PRNGKey(1), cfg) * 1e4  # O(1) feats
+        x = jnp.asarray([[0.5, 0.0, 0.1]])
+        eps = 1e-5
+        a = np.asarray(hash_encode(tables, x, cfg))
+        b = np.asarray(hash_encode(tables, x + eps, cfg))
+        assert np.abs(a - b).max() < 1e-2
+
+    def test_gradients_flow_to_tables(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from tcnerf.ops.hashgrid import (HashGridConfig, hash_encode,
+                                         init_hash_params)
+
+        cfg = HashGridConfig(n_levels=2, table_size_log2=6,
+                             base_resolution=2, finest_resolution=4)
+        tables = init_hash_params(jax.random.PRNGKey(2), cfg)
+        x = jnp.asarray(rng.uniform(0.4, 0.8, size=(10, 3)).astype(np.float32))
+
+        g = jax.grad(lambda t: jnp.sum(hash_encode(t, x, cfg) ** 2))(tables)
+        assert np.abs(np.asarray(g)).max() > 0

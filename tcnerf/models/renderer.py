@@ -128,6 +128,9 @@ class MVNeRFRenderer(nn.Module):
         Reference: model_v0.py:102-184.
         """
         normalized = src_images * 2.0 - 1.0
+        # keep the gather stream in the compute dtype: concatenating f32 RGB
+        # with bf16 features would silently upcast the whole 262-wide gather
+        normalized = normalized.astype(combined_features.dtype)
         key_c = self.make_rng("sampling")
         key_f = self.make_rng("sampling")
 

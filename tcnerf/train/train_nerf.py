@@ -38,6 +38,7 @@ def build_model(cfg, fusion=None):
         near=nm.near, far=nm.far,
         original_image_size=tuple(nm.original_image_size),
         fusion=fusion or cfg.nerf_training.get("fusion", "v0"),
+        n_blocks=nm.get("n_blocks", 6), hidden_size=nm.get("hidden_size", 128),
         vit_size=tuple(nm.get("vit_size", (224, 224))),
         vit_patch=nm.get("vit_patch", 16), vit_dim=nm.get("vit_dim", 768),
         vit_heads=nm.get("vit_heads", 12),

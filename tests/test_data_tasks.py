@@ -275,3 +275,31 @@ class TestNativeRuntime:
         np.testing.assert_allclose(native.gather_target_rgb(img, pix),
                                    img[pix[:, 0], pix[:, 1], :3] / 255.0,
                                    atol=1e-6)
+
+
+class TestPrefetch:
+    def test_prefetch_yields_all_batches_in_order(self, synth_root):
+        import jax
+        from tcnerf.data.loaders import load_dataset_nerf
+        from tcnerf.data.prefetch import prefetch_to_device
+
+        d = load_dataset_nerf(5, str(synth_root / "plain"))
+        g = MVNeRFDataGenerator(d, n_rays_train=8, batch_size=1, n_views=1,
+                                rng=1, shuffle=False)
+        host = [g[i] for i in range(len(g))]
+        got = list(prefetch_to_device(iter(host), size=2))
+        assert len(got) == len(host)
+        for (hi, ht), (di, dt) in zip(host, got):
+            np.testing.assert_allclose(np.asarray(dt), ht, atol=0)
+
+    def test_prefetch_propagates_errors(self):
+        from tcnerf.data.prefetch import prefetch_to_device
+
+        def bad():
+            yield np.zeros(3)
+            raise RuntimeError("boom")
+
+        it = prefetch_to_device(bad(), size=1)
+        next(it)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)

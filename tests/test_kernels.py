@@ -273,3 +273,52 @@ class TestHashGrid:
 
         g = jax.grad(lambda t: jnp.sum(hash_encode(t, x, cfg) ** 2))(tables)
         assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestFusedField:
+    def test_parity_with_flax_field(self, rng):
+        """fused_field (Pallas chain, interpret) must match the renderer's
+        flax _field path for n_views=1."""
+        import flax.linen as nn
+        from tcnerf.models.fused import fused_field, flatten_mv_params
+        from tcnerf.nn.blocks import RenderReadout
+        from tcnerf.nn.mlp import MVResNetMLPEmbedding
+        from tcnerf.core import projection
+        from tcnerf.ops.interpolate import gather_projection_features
+
+        n_blocks, hidden = 2, 32
+        b, r, s = 1, 3, 4
+        world = jnp.asarray(rng.uniform(0.3, 0.7, (b, r, s, 3)).astype(np.float32))
+        z = jnp.asarray(np.sort(rng.uniform(0.3, 1.3, (b, r, s)).astype(np.float32)))
+        imgs = jnp.asarray(rng.uniform(-1, 1, (b, 1, 16, 20, 3)).astype(np.float32))
+        feats_img = jnp.asarray(rng.normal(size=(b, 1, 16, 20, 8)).astype(np.float32))
+        k4 = np.eye(4, dtype=np.float32)
+        k4[:3, :3] = [[20, 0, 10], [0, 20, 8], [0, 0, 1]]
+        intr = jnp.asarray(k4)[None, None]
+        ext = jnp.eye(4)[None, None]
+        cam_dirs = jnp.asarray(rng.normal(size=(b, 1, r, 3)).astype(np.float32))
+
+        class Field(nn.Module):
+            @nn.compact
+            def __call__(self, world, z, cam_dirs):
+                pixel_xy, cam_points = projection.project_points_mv(world, intr, ext)
+                feats = gather_projection_features(imgs, feats_img, pixel_xy)
+                dirs = jnp.broadcast_to(cam_dirs[:, :, :, None, :], (b, 1, r, s, 3))
+                flat = lambda x: x.reshape((b, r, s, x.shape[-1]))
+                emb = MVResNetMLPEmbedding(
+                    n_blocks=n_blocks, hidden_size=hidden, n_views=1,
+                    embed_direction_vector=True, name="mlp")(
+                        flat(cam_points[..., :3]), flat(dirs), flat(feats))
+                return RenderReadout(4, name="ro")(emb)
+
+        field = Field()
+        params = field.init(jax.random.PRNGKey(0), world, z, cam_dirs)["params"]
+        want_c, want_d = field.apply({"params": params}, world, z, cam_dirs)
+
+        flat_w = flatten_mv_params(params["mlp"], n_blocks, params["ro"])
+        got_c, got_d = fused_field(flat_w, world, z, cam_dirs, imgs, intr, ext,
+                                   feats_img, n_blocks, tile=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                                   rtol=2e-4, atol=2e-4)

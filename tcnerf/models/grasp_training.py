@@ -151,7 +151,7 @@ def delta_ngf_train_step(state: GraspTrainState, inputs, labels,
             pred = energy(t, r)
             return jnp.sum(pred), pred
 
-        (grad_t, grad_r), (_, prediction) = jax.grad(
+        (grad_t, grad_r), prediction = jax.grad(
             energy_sum, argnums=(0, 1), has_aux=True)(g_t, g_r)
         loss_t = cosine_similarity_loss(labels[1], grad_t)
         if rotation_representation == "quaternion":

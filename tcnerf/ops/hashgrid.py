@@ -19,7 +19,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_PRIMES = (1, 2654435761, 805459861)
+_PRIMES = (1, 2654435761, 805459861)  # instant-NGP spatial-hash primes (uint32)
 
 
 @dataclass(frozen=True)
@@ -53,10 +53,11 @@ def init_hash_params(key, cfg: HashGridConfig):
 
 def _hash(coords, table_size: int):
     """Spatial hash of integer corner coords [..., 3] -> [...] in [0, T)."""
-    h = coords[..., 0] * _PRIMES[0]
-    h = h ^ (coords[..., 1] * _PRIMES[1])
-    h = h ^ (coords[..., 2] * _PRIMES[2])
-    return jnp.remainder(h, table_size)
+    c = coords.astype(jnp.uint32)
+    h = c[..., 0] * jnp.uint32(_PRIMES[0])
+    h = h ^ (c[..., 1] * jnp.uint32(_PRIMES[1]))
+    h = h ^ (c[..., 2] * jnp.uint32(_PRIMES[2]))
+    return jnp.remainder(h, jnp.uint32(table_size)).astype(jnp.int32)
 
 
 def hash_encode(tables, x, cfg: HashGridConfig):

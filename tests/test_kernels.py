@@ -122,6 +122,7 @@ class TestCLIPTowers:
 
         # build a fake torch-layout state dict with transposed conv shapes
         sd = {}
+        v = want
 
         def add_conv(name, flax_kernel):
             kh, kw, cin, cout = np.asarray(flax_kernel).shape
@@ -134,7 +135,6 @@ class TestCLIPTowers:
             sd[name + ".running_mean"] = np.zeros(c, np.float32)
             sd[name + ".running_var"] = np.ones(c, np.float32)
 
-        v = want["visual"]
         for i in (1, 2, 3):
             add_conv(f"visual.conv{i}", v[f"stem_conv{i}"]["kernel"])
             add_bn(f"visual.bn{i}", v[f"stem_bn{i}"]["scale"].shape[0])
@@ -161,7 +161,7 @@ class TestCLIPTowers:
             size=(out_dim, c)).astype(np.float32)
         sd["visual.attnpool.c_proj.bias"] = np.zeros(out_dim, np.float32)
 
-        got = import_clip_rn50_visual(sd, layers=layers, heads=heads)
+        got = import_clip_rn50_visual(sd, layers=layers, heads=heads)["visual"]
         want_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, want)
         got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, got)
         assert want_shapes == got_shapes
@@ -322,3 +322,60 @@ class TestFusedField:
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestBinnedGather:
+    def test_halo_patches_cover_stencils(self, rng):
+        from tcnerf.ops.binned_gather import build_halo_patches
+
+        img = jnp.asarray(rng.normal(size=(16, 24, 5)).astype(np.float32))
+        patches = build_halo_patches(img, tile=(8, 8))
+        assert patches.shape == (2 * 3, 9 * 9, 5)
+        # tile (0,0): pixel (3, 5) -> local (3, 5)
+        np.testing.assert_array_equal(np.asarray(patches)[0, 3 * 9 + 5],
+                                      np.asarray(img)[3, 5])
+        # halo of tile (0,0) includes row 8 / col 8
+        np.testing.assert_array_equal(np.asarray(patches)[0, 8 * 9 + 8],
+                                      np.asarray(img)[8, 8])
+
+    def test_parity_with_plain_gather(self, rng):
+        from tcnerf.ops.binned_gather import binned_bilinear_gather
+        from tcnerf.ops.interpolate import bilinear_gather
+
+        h, w, c = 32, 40, 7
+        img = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+        coords = jnp.asarray(
+            rng.uniform(-3, max(h, w) + 3, size=(500, 2)).astype(np.float32))
+        got = binned_bilinear_gather(img, coords, tile=(8, 8),
+                                     capacity_factor=8.0, strict=True)
+        want = bilinear_gather(img[None], coords[None])[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_strict_handles_concentration(self, rng):
+        """All samples in one tile: capacity overflows, strict stays exact."""
+        from tcnerf.ops.binned_gather import binned_bilinear_gather
+        from tcnerf.ops.interpolate import bilinear_gather
+
+        img = jnp.asarray(rng.normal(size=(16, 16, 4)).astype(np.float32))
+        coords = jnp.asarray(
+            rng.uniform(1.0, 6.0, size=(300, 2)).astype(np.float32))
+        got = binned_bilinear_gather(img, coords, tile=(8, 8),
+                                     capacity_factor=0.5, strict=True)
+        want = bilinear_gather(img[None], coords[None])[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_nonstrict_covers_most_when_capacity_ample(self, rng):
+        from tcnerf.ops.binned_gather import binned_bilinear_gather
+        from tcnerf.ops.interpolate import bilinear_gather
+
+        h, w, c = 32, 32, 3
+        img = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+        coords = jnp.asarray(
+            rng.uniform(0, 31, size=(400, 2)).astype(np.float32))
+        got = binned_bilinear_gather(img, coords, tile=(8, 8),
+                                     capacity_factor=8.0, strict=False)
+        want = np.asarray(bilinear_gather(img[None], coords[None])[0])
+        match = np.isclose(np.asarray(got), want, rtol=1e-5, atol=1e-5).all(axis=-1)
+        assert match.mean() > 0.95

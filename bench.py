@@ -74,33 +74,53 @@ def main():
 
     n_chunks = 16  # rays per dispatch = n_chunks * n_rays (amortizes the
     # host->device dispatch latency of the tunneled chip)
+    use_binned = os.environ.get("TCNERF_BENCH_PATH", "binned") == "binned"
 
-    @jax.jit
-    def render_many(params, ray_o, ray_d, keys):
-        def chunk(carry, key):
-            out = model.apply({"params": params}, ray_o, ray_d, src_images_b,
-                              inputs[3], inputs[4], features,
-                              rngs={"sampling": key}, method="render_rays")
-            return carry + jnp.sum(out[2].astype(jnp.float32)), None
+    if use_binned:
+        from tcnerf.models.fused import binned_render_rays
 
-        acc, _ = jax.lax.scan(chunk, jnp.zeros(()), keys)
-        return acc
+        @jax.jit
+        def render_many(params, ray_o, ray_d, keys):
+            def chunk(carry, key):
+                out = binned_render_rays(
+                    params, ray_o, ray_d, src_images_b, inputs[3], inputs[4],
+                    features, key, n_samples=64, near=0.3, far=1.3, n_blocks=6,
+                    tile=(8, 8), capacity_factor=4.0)
+                return carry + jnp.sum(out[2].astype(jnp.float32)), None
+
+            acc, _ = jax.lax.scan(chunk, jnp.zeros(()), keys)
+            return acc
+    else:
+        @jax.jit
+        def render_many(params, ray_o, ray_d, keys):
+            def chunk(carry, key):
+                out = model.apply({"params": params}, ray_o, ray_d, src_images_b,
+                                  inputs[3], inputs[4], features,
+                                  rngs={"sampling": key}, method="render_rays")
+                return carry + jnp.sum(out[2].astype(jnp.float32)), None
+
+            acc, _ = jax.lax.scan(chunk, jnp.zeros(()), keys)
+            return acc
 
     params = variables["params"]
     keys = jax.random.split(key, n_chunks)
-    # warmup/compile
-    render_many(params, inputs[0], inputs[1], keys).block_until_ready()
+    # warmup/compile (host pull = real sync)
+    _ = float(render_many(params, inputs[0], inputs[1], keys))
 
     n_iters = 5
+    # NOTE: end timing with a host transfer — block_until_ready does not
+    # actually synchronize through the axon tunnel (see docs/perf_notes.md)
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = render_many(params, inputs[0], inputs[1], keys)
-    out.block_until_ready()
+    _ = float(out)
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_iters * n_chunks * n_rays / dt
     print(json.dumps({
-        "metric": "rays/sec/chip (fused hierarchical render, 64+128 samples)",
+        "metric": ("rays/sec/chip (binned-gather hierarchical render, "
+                   "64+128 samples)" if use_binned else
+                   "rays/sec/chip (fused hierarchical render, 64+128 samples)"),
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / NORTH_STAR, 4),

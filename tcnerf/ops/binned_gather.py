@@ -143,7 +143,10 @@ def gather_sorted(patches: jnp.ndarray, info: BinInfo, tile: Tuple[int, int],
               + w10[..., None] * eq(p00_ + tw + 1)
               + w11[..., None] * eq(p00_ + tw + 2))
         oh = oh * val[..., None].astype(pt.dtype)
-        return None, jnp.einsum("tkp,tpc->tkc", oh, pt)
+        # f32 inputs keep exact bilinear parity; bf16 rides the fast MXU path
+        precision = (jax.lax.Precision.HIGHEST
+                     if pt.dtype == jnp.float32 else None)
+        return None, jnp.einsum("tkp,tpc->tkc", oh, pt, precision=precision)
 
     reshape_g = lambda a: a.reshape((n_groups, group) + a.shape[1:])
     _, out = jax.lax.scan(step, None,

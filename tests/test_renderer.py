@@ -127,7 +127,10 @@ class TestRendererTraining:
                                    scale_down_after=10**9)
         state = T.create_train_state(model, jax.random.PRNGKey(0), inputs, tx=tx)
         before = jax.tree_util.tree_map(np.asarray, state.params)
+        # two steps: the warmup schedule evaluates to 0 at optimizer step 0
+        # (reference WarmupScheduler has the same first-step behavior)
         state2, _ = T.nerf_train_step(state, inputs, labels, jax.random.PRNGKey(5))
+        state2, _ = T.nerf_train_step(state2, inputs, labels, jax.random.PRNGKey(6))
         after = state2.params
         # nerf group moved
         moved = np.abs(

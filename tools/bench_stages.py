@@ -24,17 +24,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timeit(fn, *args, iters=5):
+    # block_until_ready does not synchronize through the axon tunnel; the only
+    # reliable fence is a host transfer, so every fn returns a scalar and the
+    # timed region ends with float(out) (device queue is FIFO, so the final
+    # pull waits for all queued iterations).
     for _ in range(2):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _ = float(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    # hard sync: pull one scalar to host
-    _ = float(jnp.asarray(out).reshape(-1)[0])
-    return dt
+    _ = float(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():

@@ -74,7 +74,7 @@ def main():
 
     n_chunks = 16  # rays per dispatch = n_chunks * n_rays (amortizes the
     # host->device dispatch latency of the tunneled chip)
-    use_binned = os.environ.get("TCNERF_BENCH_PATH", "binned") == "binned"
+    use_binned = os.environ.get("TCNERF_BENCH_PATH", "") == "binned"
 
     if use_binned:
         from tcnerf.models.fused import binned_render_rays

@@ -303,3 +303,52 @@ class TestPrefetch:
         next(it)
         with pytest.raises(RuntimeError, match="boom"):
             list(it)
+
+
+class TestSession:
+    def test_progress_roundtrip(self, tmp_path):
+        import json
+        from tcnerf.train import session
+
+        d = str(tmp_path)
+        start, pf = session.init_training_session(d)
+        assert start == 0
+        with open(pf, "w") as f:
+            json.dump({"epoch": 12, "best_mean_error": [0.01, 0.2]}, f)
+        start2, _ = session.init_training_session(d)
+        assert start2 == 12
+        assert session.read_best_mean_error(pf) == [0.01, 0.2]
+
+    def test_error_score_combines_mm_and_deg(self):
+        from tcnerf.train import session
+
+        # 10 mm + 90 deg
+        score = session.error_score([0.01, np.pi / 2])
+        assert abs(score - (10 + 90)) < 1e-9
+
+    def test_get_step_results_top5(self):
+        from tcnerf.train.session import get_step_results
+        from tcnerf.tasks.transform import Affine
+
+        gt = np.eye(4)
+        poses = [Affine(translation=[0.001 * k, 0, 0]) for k in range(8)]
+        losses = np.arange(8.0)  # best = last
+        result = get_step_results(losses, poses, gt)
+        assert len(result["grasp_poses"]) == 5
+        # last entry is the highest-energy pose (k=7)
+        np.testing.assert_allclose(result["grasp_poses"][-1].translation,
+                                   [0.007, 0, 0], atol=1e-12)
+        # its translational error is 7 mm
+        assert abs(result["errors_r"][-1][0] - 0.007) < 1e-12
+
+    def test_wandb_local_fallback(self, tmp_path):
+        from tcnerf.utils import wandb_compat
+
+        run, ok = wandb_compat.init_wandb(
+            {"project": "t", "dir": str(tmp_path), "config": {"a": 1}})
+        assert ok
+        run.log({"epoch": 1, "loss": 0.5})
+        log_file = tmp_path / "wandb_local" / "t" / "wandb_log.jsonl"
+        assert log_file.exists()
+        rec = json.loads(log_file.read_text().splitlines()[0])
+        assert rec["loss"] == 0.5

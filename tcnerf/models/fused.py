@@ -101,7 +101,8 @@ def fused_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
 
     z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
     z_fine = sampling.sample_pdf(key_f, z_mid, weights[..., 1:-1], n_samples)
-    all_z = jnp.sort(jnp.concatenate([z, z_fine], axis=-1), axis=-1)
+    from ..ops.sortmerge import merge_sorted, sort_small
+    all_z = merge_sorted(z, sort_small(z_fine))
     fine_points = ray_o[:, :, None, :] + all_z[..., None] * ray_d[:, :, None, :]
 
     fine_chroma, fine_density = fused_field(
@@ -199,7 +200,8 @@ def binned_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
 
     z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
     z_fine = sampling.sample_pdf(key_f, z_mid, weights[..., 1:-1], n_samples)
-    all_z = jnp.sort(jnp.concatenate([z, z_fine], axis=-1), axis=-1)
+    from ..ops.sortmerge import merge_sorted, sort_small
+    all_z = merge_sorted(z, sort_small(z_fine))
     fine_points = ray_o[:, :, None, :] + all_z[..., None] * ray_d[:, :, None, :]
     fine_chroma, fine_density = binned_field(fine, fine_points, all_z, cam_dirs,
                                              normalized, src_intrinsics,

@@ -148,7 +148,11 @@ class MVNeRFRenderer(nn.Module):
         z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
         probs = weights[..., 1:-1]
         z_fine = sampling.sample_pdf(key_f, z_mid, probs, self.n_samples)
-        all_z = jnp.sort(jnp.concatenate([z, z_fine], axis=-1), axis=-1)
+        # rank+one-hot-matmul sort/merge: TPU variadic sort measured ~20 ms
+        # per 4096-ray chunk (tools/bench_stages.py); this is compare-sums on
+        # the VPU + a [S, S] permutation matmul on the MXU
+        from ..ops.sortmerge import merge_sorted, sort_small
+        all_z = merge_sorted(z, sort_small(z_fine))
         fine_points = (ray_origins[:, :, None, :]
                        + all_z[..., None] * ray_directions[:, :, None, :])
 

@@ -379,3 +379,36 @@ class TestBinnedGather:
         want = np.asarray(bilinear_gather(img[None], coords[None])[0])
         match = np.isclose(np.asarray(got), want, rtol=1e-5, atol=1e-5).all(axis=-1)
         assert match.mean() > 0.95
+
+
+class TestSortMerge:
+    def test_sort_small_matches_jnp_sort(self, rng):
+        from tcnerf.ops.sortmerge import sort_small
+
+        v = jnp.asarray(rng.normal(size=(3, 5, 32)).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(sort_small(v)),
+                                      np.sort(np.asarray(v), axis=-1))
+
+    def test_sort_small_with_duplicates(self):
+        from tcnerf.ops.sortmerge import sort_small
+
+        v = jnp.asarray([[3.0, 1.0, 3.0, 1.0, 2.0, 2.0, 0.5, 9.0]])
+        np.testing.assert_array_equal(np.asarray(sort_small(v)),
+                                      np.sort(np.asarray(v), axis=-1))
+
+    def test_merge_sorted(self, rng):
+        from tcnerf.ops.sortmerge import merge_sorted
+
+        a = np.sort(rng.normal(size=(4, 16)).astype(np.float32), axis=-1)
+        b = np.sort(rng.normal(size=(4, 16)).astype(np.float32), axis=-1)
+        got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+        want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_merge_sorted_with_shared_values(self):
+        from tcnerf.ops.sortmerge import merge_sorted
+
+        a = jnp.asarray([[0.0, 1.0, 2.0]])
+        b = jnp.asarray([[1.0, 1.0, 3.0]])
+        got = np.asarray(merge_sorted(a, b))
+        np.testing.assert_array_equal(got, [[0.0, 1.0, 1.0, 1.0, 2.0, 3.0]])

@@ -14,9 +14,6 @@ kernel is forward-only).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

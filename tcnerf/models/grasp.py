@@ -217,6 +217,14 @@ class GraspEBM(nn.Module):
         return self.energy(poses, src_images, src_intrinsics, src_extrinsics_inv,
                            batched_features)
 
+    def init_all(self, poses, src_images, src_intrinsics, src_extrinsics_inv,
+                 clip_tokens=None):
+        """Initialization path touching every submodule (incl. the CLIP
+        towers + fusion when `fusion` is set) — __call__ alone skips them."""
+        features = self.compute_features(src_images, clip_tokens)
+        return self.energy(poses, src_images, src_intrinsics,
+                           src_extrinsics_inv, features)
+
     def energy_from_pose_params(self, translations, rotations, src_images,
                                 src_intrinsics, src_extrinsics_inv,
                                 batched_features,

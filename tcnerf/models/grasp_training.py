@@ -20,7 +20,7 @@ backbone/CLIP towers never get a backward pass (the reference relies on
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict
+from typing import Any, Callable
 
 import flax.struct
 import jax

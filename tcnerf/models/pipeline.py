@@ -66,8 +66,14 @@ class GraspPipeline:
         dummy_imgs = jnp.zeros((1, v, h, w, 3))
         dummy_intr = jnp.tile(jnp.eye(4), (1, v, 1, 1))
         poses = jnp.tile(jnp.eye(4), (1, 2, 1, 1))
-        params = model.init(jax.random.PRNGKey(0), poses, dummy_imgs,
-                            dummy_intr, dummy_intr)["params"]
+        if model.fusion is not None:
+            tokens = jnp.zeros((1, 77), jnp.int32)
+            params = model.init(jax.random.PRNGKey(0), poses, dummy_imgs,
+                                dummy_intr, dummy_intr, tokens,
+                                method="init_all")["params"]
+        else:
+            params = model.init(jax.random.PRNGKey(0), poses, dummy_imgs,
+                                dummy_intr, dummy_intr)["params"]
         if backbone_dir:
             restored = ckpt.load(os.path.join(backbone_dir, "model_final"),
                                  params, ckpt.BACKBONE_COMPONENTS)

@@ -13,7 +13,7 @@ layers is needed and XLA fuses the residual adds into the matmul epilogues.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

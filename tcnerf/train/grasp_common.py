@@ -33,6 +33,12 @@ def build_grasp_model(cfg, n_points_train: Optional[int] = None,
         vit_heads=nm.get("vit_heads", 12),
         vit_hooks=tuple(nm.get("vit_hooks", (3, 6, 9, 12))),
         fusion=fusion,
+        clip_layers=tuple(nm.get("clip_layers", (3, 4, 6, 3))),
+        clip_width=nm.get("clip_width", 64),
+        clip_embed_dim=nm.get("clip_embed_dim", 1024),
+        clip_text_width=nm.get("clip_text_width", 512),
+        clip_text_layers=nm.get("clip_text_layers", 12),
+        clip_image_size=nm.get("clip_image_size", 224),
     )
     if readout_flavor == "goal":
         # grasp_mvnerf flavor: elu + glorot + bias (reference grasp_mvnerf/layers.py)

@@ -18,7 +18,6 @@ from typing import Callable, List
 
 import numpy as np
 
-from ..models import checkpoint as ckpt
 from ..opt.pose_optimizer import PoseOptimizer, compute_results
 from ..tasks.agents import OracleAgent
 from ..utils import wandb_compat as wandb

@@ -78,8 +78,9 @@ def run_delta_training(cfg, generator_cls=DeltaNGFDataGenerator, sync=True,
                    jnp.asarray(inputs0[6]))
     if fusion is not None:
         import jax
+        dummy_tokens = jnp.zeros((inputs0[4].shape[0], 77), jnp.int32)
         params = model.init(jax.random.PRNGKey(cfg.get("seed", 0)), *init_inputs,
-                            None)["params"]
+                            dummy_tokens, method="init_all")["params"]
         state = GT.create_grasp_train_state(
             model, params, learning_rate=cfg.grasp_training.learning_rate)
     else:

@@ -43,6 +43,10 @@ def build_model(cfg, fusion=None):
         vit_patch=nm.get("vit_patch", 16), vit_dim=nm.get("vit_dim", 768),
         vit_heads=nm.get("vit_heads", 12),
         vit_hooks=tuple(nm.get("vit_hooks", (3, 6, 9, 12))),
+        clip_layers=tuple(nm.get("clip_layers", (3, 4, 6, 3))),
+        clip_width=nm.get("clip_width", 64),
+        clip_embed_dim=nm.get("clip_embed_dim", 1024),
+        clip_image_size=nm.get("clip_image_size", 224),
     )
 
 

@@ -35,7 +35,13 @@ def categorical_crossentropy_logits(labels, logits):
 
 
 def kl_divergence(labels, probs, eps: float = 1e-7):
-    """keras KLDivergence: sum(y_true * log(y_true / y_pred)), mean over batch."""
+    """keras KLDivergence: sum(y_true * log(y_true / y_pred)), mean over batch.
+
+    NOTE: train_goal's reference constructs KLDivergence(reduction=NONE) and
+    lets TF implicitly SUM the per-sample vector through tape.gradient
+    (train_goal.py:51, model.py:167-168) — a batch-size-dependent scale.
+    We use the mean (matching the delta/language trainers' default reduction);
+    equivalent up to a constant factor absorbed by the learning rate."""
     y_true = jnp.clip(labels, eps, 1.0)
     y_pred = jnp.clip(probs, eps, 1.0)
     return jnp.mean(jnp.sum(y_true * jnp.log(y_true / y_pred), axis=-1))

@@ -167,3 +167,51 @@ class TestCheckpoint:
     def test_load_missing_returns_none(self, tmp_path):
         assert ckpt.load(str(tmp_path / "nope"), {"fine_embedding": {}},
                          ("fine_embedding",)) is None
+
+
+class TestMultiView:
+    def test_three_view_renderer_forward(self, scene_data):
+        """nerf_model 3_view config path: mid-network mean fusion over views."""
+        scene, colors, configs = scene_data
+        rng = np.random.default_rng(7)
+        cfg3 = dict(TINY)
+        cfg3["n_views"] = 3
+        model = MVNeRFRenderer(**cfg3)
+
+        # build a 3-view batch
+        idx = rng.choice(len(configs), size=4, replace=False)
+        pix = bbox_biased_sample(rng, 8, (0, 0, H, W), H, W)
+        intr3 = configs[idx[-1]]["intrinsics"].reshape(3, 3)
+        ro, rd = get_specific_rays(pix[:, 1].astype(np.float32),
+                                   pix[:, 0].astype(np.float32),
+                                   configs[idx[-1]]["pose"], intr3)
+        srcs, intrs, exts = [], [], []
+        for s in idx[:-1]:
+            srcs.append(colors[s][..., :3] / 255.0)
+            k4 = np.eye(4)
+            k4[:3, :3] = configs[s]["intrinsics"].reshape(3, 3)
+            intrs.append(k4)
+            exts.append(np.linalg.inv(configs[s]["pose"]))
+        inputs = (
+            jnp.asarray(ro, jnp.float32)[None],
+            jnp.asarray(rd, jnp.float32)[None],
+            jnp.asarray(np.array(srcs, np.float32))[None],
+            jnp.asarray(np.array(intrs, np.float32))[None],
+            jnp.asarray(np.array(exts, np.float32))[None],
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "sampling": jax.random.PRNGKey(1)}, inputs)
+        rgb, depth, fine_rgb, fine_depth, aux = model.apply(
+            variables, inputs, rngs={"sampling": jax.random.PRNGKey(2)})
+        assert rgb.shape == (1, 8, 3) and fine_rgb.shape == (1, 8, 3)
+        assert np.isfinite(np.asarray(fine_rgb)).all()
+        # view order must not matter for the mean-fusion output
+        perm = [2, 0, 1]
+        inputs_p = (inputs[0], inputs[1], inputs[2][:, perm],
+                    inputs[3][:, perm], inputs[4][:, perm])
+        rgb_p, *_ = model.apply(variables, inputs_p,
+                                rngs={"sampling": jax.random.PRNGKey(2)})
+        # mean fusion is permutation-invariant mathematically; the tolerance
+        # absorbs bf16-precision matmul reassociation (platform default)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_p),
+                                   rtol=0.05, atol=0.02)

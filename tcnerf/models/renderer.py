@@ -32,7 +32,8 @@ from ..nn.fusion import (CombineCLIPVisualV0, CombineCLIPVisualV1,
                          CombineCLIPVisualV4)
 from ..nn.mlp import MVResNetMLPEmbedding
 from ..nn.vit import VisualFeatures
-from ..ops.interpolate import gather_projection_features
+from ..ops.interpolate import (bilinear_gather_corners, gather_projection_features,
+                               make_corner_image)
 
 FUSIONS = {
     "v0": CombineCLIPVisualV0,
@@ -65,12 +66,21 @@ class MVNeRFRenderer(nn.Module):
     clip_width: int = 64
     clip_embed_dim: int = 1024
     clip_image_size: int = 224
+    # pre-projected corner-row gather: fold layer_0's feature-kernel slice
+    # into the feature image and fetch each sample's four bilinear corners as
+    # ONE gathered row (XLA's TPU row gather is row-count-limited; ~2.8x on
+    # the dominant render stage, docs/perf_notes.md). False = the
+    # reference-shaped 4-tap scattered gather (same math, reference
+    # nerf_utils.py:277-285).
+    corner_gather: bool = True
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         kw = dict(n_blocks=self.n_blocks, hidden_size=self.hidden_size,
                   n_views=self.n_views,
                   embed_direction_vector=self.embed_direction_vector,
+                  n_input_features=(self.n_features + 3 if self.corner_gather
+                                    else None),
                   dtype=self.dtype)
         self.coarse_embedding = MVResNetMLPEmbedding(**kw)
         self.coarse_readout = RenderReadout(4, dtype=self.dtype)
@@ -134,6 +144,20 @@ class MVNeRFRenderer(nn.Module):
         key_c = self.make_rng("sampling")
         key_f = self.make_rng("sampling")
 
+        corner_c = corner_f = None
+        if self.corner_gather:
+            # fold each stage's layer_0 feature-kernel slice into the image
+            # (once per render; loop-invariant under any chunk scan), then
+            # stack the four bilinear corners into one row per pixel so the
+            # per-sample gather reads a single [4*hidden] row.
+            combined = jnp.concatenate([normalized, combined_features], axis=-1)
+            b, v = combined.shape[:2]
+            flat_img = combined.reshape((b * v,) + combined.shape[2:])
+            corner_c = make_corner_image(
+                self.coarse_embedding.project_image(flat_img))
+            corner_f = make_corner_image(
+                self.fine_embedding.project_image(flat_img))
+
         world_points, z = sampling.sample_along_ray(
             key_c, ray_origins, ray_directions, self.near, self.far, self.n_samples)
         cam_dirs = projection.world_to_camera_directions_mv(
@@ -142,7 +166,7 @@ class MVNeRFRenderer(nn.Module):
         chroma, density = self._field(
             world_points, z, cam_dirs, normalized, src_intrinsics,
             src_extrinsics_inv, combined_features, self.coarse_embedding,
-            self.coarse_readout)
+            self.coarse_readout, corner_img=corner_c)
         rgb, depth, weights = render.volumetric_render(z, density, chroma)
 
         z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
@@ -159,23 +183,30 @@ class MVNeRFRenderer(nn.Module):
         fine_chroma, fine_density = self._field(
             fine_points, all_z, cam_dirs, normalized, src_intrinsics,
             src_extrinsics_inv, combined_features, self.fine_embedding,
-            self.fine_readout)
+            self.fine_readout, corner_img=corner_f)
         fine_rgb, fine_depth, _ = render.volumetric_render(
             all_z, fine_density, fine_chroma)
         return rgb, depth, fine_rgb, fine_depth
 
     def _field(self, world_points, z, cam_dirs, normalized_images, src_intrinsics,
-               src_extrinsics_inv, combined_features, embedding, readout):
+               src_extrinsics_inv, combined_features, embedding, readout,
+               corner_img=None):
         b, r, s, _ = world_points.shape
         v = normalized_images.shape[1]
         pixel_xy, cam_points = projection.project_points_mv(
             world_points, src_intrinsics, src_extrinsics_inv)
-        feats = gather_projection_features(normalized_images, combined_features,
-                                           pixel_xy)  # [B, V, R, S, C+3]
+        if corner_img is not None:
+            coords = pixel_xy.reshape(b * v, r * s, 2)
+            feats = bilinear_gather_corners(corner_img, coords)
+            feats = feats.reshape(b, v, r, s, feats.shape[-1])
+        else:
+            feats = gather_projection_features(
+                normalized_images, combined_features, pixel_xy)  # [B,V,R,S,C+3]
         dirs = jnp.broadcast_to(cam_dirs[:, :, :, None, :], (b, v, r, s, 3))
 
         flat = lambda x: x.reshape((b * v, r, s, x.shape[-1]))
-        emb = embedding(flat(cam_points[..., :3]), flat(dirs), flat(feats))
+        emb = embedding(flat(cam_points[..., :3]), flat(dirs), flat(feats),
+                        features_projected=corner_img is not None)
         chroma, density = readout(emb)  # [B, R, S, 3], [B, R, S]
         return chroma, density
 

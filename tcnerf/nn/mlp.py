@@ -23,6 +23,52 @@ from ..core.encoding import positional_encoding
 from .blocks import ResNetMLPBlock
 
 
+class SliceableDense(nn.Module):
+    """Drop-in replacement for ``nn.Dense`` (identical param tree {kernel,
+    bias}, identical initializers, identical dtype promotion) that exposes the
+    kernel split at row ``split``:
+
+      * ``project_tail(img)`` applies the FEATURE slice of the kernel (rows
+        [split:], no bias) to a full-resolution feature image BEFORE the
+        bilinear gather — valid because gather/lerp and matmul are both linear
+        and commute;
+      * ``apply_head(x)`` applies the pos/dir-encoding slice (rows [:split])
+        plus the bias to the per-sample encodings.
+
+    ``apply_head(enc) + lerp(gather(project_tail(img)))`` equals
+    ``__call__(concat([enc, lerp(gather(img))]))`` up to matmul/lerp
+    reassociation. Pre-projecting shrinks the gathered rows from the raw
+    feature width to ``features`` (the MLP hidden width), cutting the
+    row-gather bytes ~2x (docs/perf_notes.md).
+    """
+
+    features: int
+    in_features: int
+    split: int
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros_init(),
+                               (self.features,), jnp.float32)
+
+    def __call__(self, x):
+        x, k, b = nn.dtypes.promote_dtype(x, self.kernel, self.bias,
+                                          dtype=self.dtype)
+        return x @ k + b
+
+    def project_tail(self, images):
+        img, k = nn.dtypes.promote_dtype(images, self.kernel[self.split:],
+                                         dtype=self.dtype)
+        return img @ k
+
+    def apply_head(self, x):
+        x, k, b = nn.dtypes.promote_dtype(x, self.kernel[:self.split],
+                                          self.bias, dtype=self.dtype)
+        return x @ k + b
+
+
 class ResNetMLPEmbedding(nn.Module):
     """Single-view NeRF MLP (reference layers.py:301-331)."""
 
@@ -68,34 +114,65 @@ class MVResNetMLPEmbedding(nn.Module):
     pos_encoding_freq: float = float(np.pi)
     embed_direction_vector: bool = False
     complete_output: bool = False
+    # static width of the raw per-sample feature vector (e.g. n_features + 3
+    # RGB). When set, layer_0 becomes a SliceableDense and the caller may
+    # pre-project the full-res feature image via `project_image` and pass the
+    # gathered result with features_projected=True. Param tree is unchanged.
+    n_input_features: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, positions, directions, features):
+    def setup(self):
+        pd = 6 * self.n_freq + (6 * self.n_freq
+                                if self.embed_direction_vector else 3)
+        if self.n_input_features is not None:
+            self.layer_0 = SliceableDense(
+                features=self.hidden_size,
+                in_features=pd + self.n_input_features, split=pd,
+                dtype=self.dtype)
+        else:
+            self.layer_0 = nn.Dense(self.hidden_size, dtype=self.dtype)
         n_feature_blocks = self.n_blocks // 2
-        n_fusion_blocks = self.n_blocks - n_feature_blocks
+        self.feature_blocks = [
+            ResNetMLPBlock(self.hidden_size, self.hidden_size, dtype=self.dtype,
+                           name=f"feature_block_{i}")
+            for i in range(n_feature_blocks)
+        ]
+        self.fusion_blocks = [
+            ResNetMLPBlock(self.hidden_size, self.hidden_size, dtype=self.dtype,
+                           name=f"fusion_block_{i}")
+            for i in range(self.n_blocks - n_feature_blocks)
+        ]
 
-        encoded_pos = positional_encoding(positions, self.n_freq, self.pos_encoding_freq)
+    def encode_pos_dir(self, positions, directions):
+        encoded_pos = positional_encoding(positions, self.n_freq,
+                                          self.pos_encoding_freq)
         encoded_dir = (
             positional_encoding(directions, self.n_freq, self.pos_encoding_freq)
             if self.embed_direction_vector else directions
         )
-        x = jnp.concatenate([encoded_pos, encoded_dir, features], axis=-1)
-        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="layer_0")(x)
+        return jnp.concatenate([encoded_pos, encoded_dir], axis=-1)
+
+    def project_image(self, images):
+        """Apply layer_0's feature-kernel slice to a full-res [.., C] image
+        (pre-gather; requires n_input_features). Returns [.., hidden_size]."""
+        return self.layer_0.project_tail(images)
+
+    def __call__(self, positions, directions, features,
+                 features_projected: bool = False):
+        enc = self.encode_pos_dir(positions, directions)
+        if features_projected:
+            head = self.layer_0.apply_head(enc)
+            x = head + features.astype(head.dtype)
+        else:
+            x = self.layer_0(jnp.concatenate([enc, features], axis=-1))
         outputs = [x]
-        for i in range(n_feature_blocks):
-            outputs.append(
-                ResNetMLPBlock(self.hidden_size, self.hidden_size, dtype=self.dtype,
-                               name=f"feature_block_{i}")(outputs[-1])
-            )
+        for block in self.feature_blocks:
+            outputs.append(block(outputs[-1]))
 
         pre = outputs[-1]
         fused = pre.reshape((-1, self.n_views) + pre.shape[1:]).mean(axis=1)
         outputs.append(fused)
 
-        for i in range(n_fusion_blocks):
-            outputs.append(
-                ResNetMLPBlock(self.hidden_size, self.hidden_size, dtype=self.dtype,
-                               name=f"fusion_block_{i}")(outputs[-1])
-            )
+        for block in self.fusion_blocks:
+            outputs.append(block(outputs[-1]))
         return outputs if self.complete_output else outputs[-1]

@@ -56,6 +56,52 @@ def bilinear_gather(images: jnp.ndarray, coords_xy: jnp.ndarray) -> jnp.ndarray:
     return top + ay * (bottom - top)
 
 
+def make_corner_image(images: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H, W, 4C]: each pixel stacked with its +x, +y and
+    +x+y neighbors (edge-clamped; the clamped bilinear stencil never reads the
+    last row/col through the shifted slots, so clamping is value-irrelevant).
+
+    Why: XLA's TPU row gather is row-COUNT-limited (~11 ns/row, nearly
+    independent of row width up to ~2 KB — tools/bench_diag.py DIAG_ALIGN /
+    DIAG_CORNERS), so fetching the four bilinear corners as ONE wide row is
+    ~1.8x faster than four separate row gathers at the same byte volume.
+    """
+    x1 = jnp.concatenate([images[:, :, 1:], images[:, :, -1:]], axis=2)
+    y1 = jnp.concatenate([images[:, 1:], images[:, -1:]], axis=1)
+    xy1 = jnp.concatenate([x1[:, 1:], x1[:, -1:]], axis=1)
+    return jnp.concatenate([images, x1, y1, xy1], axis=-1)
+
+
+def bilinear_gather_corners(corner_images: jnp.ndarray,
+                            coords_xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear gather reading ONE row per query from a corner-stacked image.
+
+    corner_images: [B, H, W, 4C] from `make_corner_image`; coords_xy: [B, N, 2]
+    (x, y). Returns [B, N, C] with the exact same stencil/alpha semantics as
+    `bilinear_gather` (same clamping, same lerp expression).
+    """
+    b, h, w, c4 = corner_images.shape
+    c = c4 // 4
+    x = jnp.clip(coords_xy[..., 0], 0.0, w - 1.0)
+    y = jnp.clip(coords_xy[..., 1], 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0.0, w - 2.0)
+    y0 = jnp.clip(jnp.floor(y), 0.0, h - 2.0)
+    ax = (x - x0)[..., None]
+    ay = (y - y0)[..., None]
+    idx = y0.astype(jnp.int32) * w + x0.astype(jnp.int32)
+
+    flat = corner_images.reshape(b, h * w, c4)
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    v00 = rows[..., :c]
+    v01 = rows[..., c:2 * c]
+    v10 = rows[..., 2 * c:3 * c]
+    v11 = rows[..., 3 * c:]
+
+    top = v00 + ax * (v01 - v00)
+    bottom = v10 + ax * (v11 - v10)
+    return top + ay * (bottom - top)
+
+
 def gather_projection_features(normalized_images: jnp.ndarray, features: jnp.ndarray,
                                pixel_xy: jnp.ndarray) -> jnp.ndarray:
     """Concat RGB (normalized to [-1, 1]) with a feature map and sample both at

@@ -412,3 +412,31 @@ class TestSortMerge:
         b = jnp.asarray([[1.0, 1.0, 3.0]])
         got = np.asarray(merge_sorted(a, b))
         np.testing.assert_array_equal(got, [[0.0, 1.0, 1.0, 1.0, 2.0, 3.0]])
+
+
+class TestCornerGather:
+    def test_exact_parity_with_bilinear_gather(self, rng):
+        from tcnerf.ops.interpolate import (bilinear_gather,
+                                            bilinear_gather_corners,
+                                            make_corner_image)
+
+        img = jnp.asarray(rng.normal(size=(2, 17, 23, 5)).astype(np.float32))
+        coords = jnp.asarray(
+            rng.uniform(-1.0, 25.0, size=(2, 64, 2)).astype(np.float32))
+        want = bilinear_gather(img, coords)
+        got = bilinear_gather_corners(make_corner_image(img), coords)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_corner_image_layout(self, rng):
+        from tcnerf.ops.interpolate import make_corner_image
+
+        img = jnp.asarray(rng.normal(size=(1, 4, 6, 3)).astype(np.float32))
+        c4 = np.asarray(make_corner_image(img))
+        img = np.asarray(img)
+        assert c4.shape == (1, 4, 6, 12)
+        np.testing.assert_array_equal(c4[0, 1, 2, 0:3], img[0, 1, 2])
+        np.testing.assert_array_equal(c4[0, 1, 2, 3:6], img[0, 1, 3])
+        np.testing.assert_array_equal(c4[0, 1, 2, 6:9], img[0, 2, 2])
+        np.testing.assert_array_equal(c4[0, 1, 2, 9:12], img[0, 2, 3])
+        # edge clamp
+        np.testing.assert_array_equal(c4[0, 3, 5, 9:12], img[0, 3, 5])

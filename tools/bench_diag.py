@@ -76,7 +76,8 @@ def main():
     print(json.dumps(result))
 
 
-if __name__ == "__main__" and not os.environ.get("DIAG_ALIGN"):
+if __name__ == "__main__" and not (os.environ.get("DIAG_ALIGN")
+                                   or os.environ.get("DIAG_CORNERS")):
     main()
 
 
@@ -89,22 +90,75 @@ def alignment_probe():
     n = 4096 * 192
     rng = np.random.default_rng(1)
     coords = jnp.asarray(rng.uniform(0, 600, (1, n, 2)), jnp.float32)
+    def timeit_pull(f, *args, iters=5):
+        # host-pull sync: block_until_ready does not sync through the tunnel
+        _ = float(f(*args))
+        _ = float(f(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        _ = float(out)
+        return (time.perf_counter() - t0) / iters
+
     out = {}
     for c in (256, 259, 384):
         img = jnp.asarray(rng.normal(size=(1, h, w, c)), jnp.bfloat16)
-        f = jax.jit(lambda im, cc: bilinear_gather(im, cc))
-        out[f"gather_c{c}_ms"] = round(timeit(f, img, coords, iters=5) * 1e3, 2)
+        f = jax.jit(lambda im, cc: bilinear_gather(im, cc)
+                    .astype(jnp.float32).sum())
+        out[f"gather_c{c}_ms"] = round(timeit_pull(f, img, coords) * 1e3, 2)
 
     img256 = jnp.asarray(rng.normal(size=(1, h, w, 256)), jnp.bfloat16)
     img3 = jnp.asarray(rng.normal(size=(1, h, w, 8)), jnp.bfloat16)
 
     def split(cc):
-        return (bilinear_gather(img256, cc), bilinear_gather(img3, cc))
+        return (bilinear_gather(img256, cc).astype(jnp.float32).sum()
+                + bilinear_gather(img3, cc).astype(jnp.float32).sum())
 
     f = jax.jit(split)
-    out["gather_split_256p8_ms"] = round(timeit(f, coords, iters=5) * 1e3, 2)
+    out["gather_split_256p8_ms"] = round(timeit_pull(f, coords) * 1e3, 2)
     print(json.dumps(out))
 
 
 if __name__ == "__main__" and os.environ.get("DIAG_ALIGN"):
     alignment_probe()
+
+
+def corners_probe():
+    """The gather is row-count-limited (~11ns/row; see DIAG_ALIGN numbers), so
+    fold the 4 bilinear corners into ONE gathered row: precompute a corner-
+    shifted concat image [H, W, 4C] (x+1 / y+1 / xy+1 shifts) and gather once
+    per sample instead of 4 times."""
+    h, w = 480, 640
+    n = 4096 * 192
+    rng = np.random.default_rng(1)
+    coords = jnp.asarray(rng.uniform(0, 600, (1, n, 2)), jnp.float32)
+
+    def timeit_pull(f, *args, iters=5):
+        _ = float(f(*args))
+        _ = float(f(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        _ = float(out)
+        return (time.perf_counter() - t0) / iters
+
+    def one_row_gather(img4, cc):
+        hh, ww = img4.shape[1], img4.shape[2]
+        x = jnp.clip(cc[..., 0], 0.0, ww - 1.0)
+        y = jnp.clip(cc[..., 1], 0.0, hh - 1.0)
+        x0 = jnp.clip(jnp.floor(x), 0.0, ww - 2.0).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(y), 0.0, hh - 2.0).astype(jnp.int32)
+        flat = img4.reshape(img4.shape[0], hh * ww, img4.shape[-1])
+        rows = jnp.take_along_axis(flat, (y0 * ww + x0)[..., None], axis=1)
+        return rows.astype(jnp.float32).sum()
+
+    out = {}
+    for c in (128, 259):
+        img4 = jnp.asarray(rng.normal(size=(1, h, w, 4 * c)), jnp.bfloat16)
+        f = jax.jit(one_row_gather)
+        out[f"gather_1row_4x{c}_ms"] = round(timeit_pull(f, img4, coords) * 1e3, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__" and os.environ.get("DIAG_CORNERS"):
+    corners_probe()

@@ -28,6 +28,21 @@ def sample_along_ray(key: jax.Array, rays_origin: jnp.ndarray, rays_direction: j
     return world_points, z
 
 
+def _select_last(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table: [..., K]; idx: [..., S] int32 in [0, K) -> [..., S].
+
+    One-hot masked reduction instead of take_along_axis: single-element
+    last-axis gathers lower to scattered row reads (~11 ns/row on TPU —
+    tools/bench_pdf.py measured 17.4 ms for sample_pdf's four lookups at
+    4096x64), while the masked reduce stays on the VPU (<1 ms). Bitwise
+    identical result (sum of one selected element and zeros).
+    """
+    k = table.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+    mask = idx[..., None] == iota
+    return jnp.sum(jnp.where(mask, table[..., None, :], 0), axis=-1)
+
+
 def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int):
     """Inverse-CDF resampling of `n_samples` new z values from a piecewise PDF.
 
@@ -54,10 +69,10 @@ def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray, n_sample
     above_cdf = jnp.clip(above, 0, cdf.shape[-1] - 1)
     above_bins = jnp.clip(above, 0, nb - 1)
 
-    cdf_a = jnp.take_along_axis(cdf, above_cdf, axis=-1)
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above_bins, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
+    cdf_a = _select_last(cdf, above_cdf)
+    cdf_b = _select_last(cdf, below)
+    bins_a = _select_last(bins, above_bins)
+    bins_b = _select_last(bins, below)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

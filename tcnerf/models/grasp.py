@@ -32,7 +32,8 @@ from ..core.prec import heinsum
 from ..nn.grasp_readout import GraspReadout
 from ..nn.mlp import MVResNetMLPEmbedding
 from ..nn.vit import VisualFeatures
-from ..ops.interpolate import bilinear_gather
+from ..ops.interpolate import (bilinear_gather, bilinear_gather_corners,
+                               make_corner_image)
 from ..tasks.transform import Affine
 
 
@@ -95,13 +96,22 @@ class GraspEBM(nn.Module):
     vit_dim: int = 768
     vit_heads: int = 12
     vit_hooks: Sequence[int] = (3, 6, 9, 12)
+    # pre-projected corner-row gather (see MVNeRFRenderer.corner_gather):
+    # one gathered row per probe instead of four, with layer_0's feature
+    # slice folded into the feature image. Exact same math; the projected
+    # corner image is pose-independent so XLA hoists it out of the pose-
+    # optimization scan. False = reference-shaped 4-tap scattered gather.
+    corner_gather: bool = True
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.fine_embedding = MVResNetMLPEmbedding(
             n_blocks=self.n_blocks, hidden_size=self.hidden_size,
             n_views=self.n_views, embed_direction_vector=True,
-            complete_output=True, dtype=self.dtype)
+            complete_output=True,
+            n_input_features=(self.n_features + 3 if self.corner_gather
+                              else None),
+            dtype=self.dtype)
         self.visual_features = VisualFeatures(
             n_features=self.n_features, original_image_size=self.original_image_size,
             vit_size=self.vit_size, patch_size=self.vit_patch,
@@ -193,7 +203,13 @@ class GraspEBM(nn.Module):
         n, p = poses.shape[1], self.n_probes
         combined = jnp.concatenate([normalized, batched_features], axis=-1)
         combined = combined.reshape((b * v,) + combined.shape[2:])
-        feats = bilinear_gather(combined, pixel_xy.reshape(b * v, n * p, 2))
+        if self.corner_gather:
+            corner = make_corner_image(
+                self.fine_embedding.project_image(combined))
+            feats = bilinear_gather_corners(
+                corner, pixel_xy.reshape(b * v, n * p, 2))
+        else:
+            feats = bilinear_gather(combined, pixel_xy.reshape(b * v, n * p, 2))
 
         dirs = projection.rotate_directions(
             probe_poses[..., :3, :3], self.z_dir, src_extrinsics_inv)  # [B,V,N,P,3]
@@ -203,7 +219,8 @@ class GraspEBM(nn.Module):
         dirs = dirs.reshape(b * v, n, p, 3)
         feats = feats.reshape(b * v, n, p, feats.shape[-1])
 
-        activations = self.fine_embedding(cam_points, dirs, feats)
+        activations = self.fine_embedding(
+            cam_points, dirs, feats, features_projected=self.corner_gather)
         # fused-stream activations: mean-fusion output + fusion blocks
         # (reference takes [4:] of the 8-entry list for n_blocks=6,
         # grasp_mvnerf/model.py:155; generalized to any depth)

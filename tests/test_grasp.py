@@ -181,9 +181,12 @@ class TestPoseOptimizer:
         state = opt.init_state(guesses)
         inputs = (imgs, intr, ext)
         e0 = np.asarray(opt.compute_current_grasp_success(state, inputs, feats))
-        state, trace = opt.optimize_pose(state, inputs, feats, (True, True), 8)
+        # enough steps that systematic ascent dominates the bf16 execution
+        # noise of the tunneled-TPU test box (gradient cosine corner-vs-
+        # scattered is 0.998; per-step energy deltas are ~1e-3)
+        state, trace = opt.optimize_pose(state, inputs, feats, (True, True), 24)
         e1 = np.asarray(opt.compute_current_grasp_success(state, inputs, feats))
-        assert trace.shape == (8, 16)
+        assert trace.shape == (24, 16)
         assert e1.mean() > e0.mean()  # ascent increases energy
         # quaternions stay normalized (projection step)
         norms = np.linalg.norm(np.asarray(state.rotations), axis=-1)
@@ -228,3 +231,31 @@ class TestOracle:
         _, e_r = o.calculate_error(
             [(0, 0, 0), (0, 0, 0, 1)], [(0, 0, 0), (0, 0, 0, -1)])
         assert abs(e_r) < 1e-6
+
+
+class TestGraspCornerGatherParity:
+    def test_corner_path_matches_scattered(self, grasp_setup):
+        """GraspEBM corner_gather pre-projects the feature image through
+        fine_embedding.layer_0's feature slice; energies must match the
+        reference-shaped 4-tap scattered gather path up to matmul/lerp
+        reassociation (exact linear identity; f32 here)."""
+        model, params, inputs, scene = grasp_setup
+        m_scatter = GraspEBM(**TINY, corner_gather=False)
+        rng = np.random.default_rng(3)
+        poses = np.stack([np.eye(4, dtype=np.float32)] * 8)[None]
+        poses[0, :, :3, 3] = rng.uniform(0.3, 0.5, size=(8, 3)).astype(np.float32)
+        poses = jnp.asarray(poses)
+        # identical param tree (SliceableDense mirrors nn.Dense)
+        p2 = m_scatter.init(jax.random.PRNGKey(0), poses, *inputs)["params"]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            params, p2)
+        e_corner = model.apply({"params": params}, poses, *inputs)
+        e_scatter = m_scatter.apply({"params": params}, poses, *inputs)
+        # on this box tests execute on the tunneled TPU (the axon
+        # sitecustomize overrides JAX_PLATFORMS=cpu — see conftest NOTE), so
+        # the pre-projection matmul runs at bf16 default precision; observed
+        # ~4e-3. On a true-CPU runner the two paths agree to ~1e-6.
+        np.testing.assert_allclose(np.asarray(e_corner), np.asarray(e_scatter),
+                                   rtol=2e-2, atol=8e-3)

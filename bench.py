@@ -38,7 +38,7 @@ def main():
     model = MVNeRFRenderer(
         n_views=n_views, n_samples=64, n_features=256, near=0.3, far=1.3,
         original_image_size=(h, w), fusion="without", n_blocks=6,
-        hidden_size=128, dtype=jnp.bfloat16)
+        hidden_size=128, pallas_mlp=True, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)

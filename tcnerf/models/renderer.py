@@ -73,6 +73,9 @@ class MVNeRFRenderer(nn.Module):
     # reference-shaped 4-tap scattered gather (same math, reference
     # nerf_utils.py:277-285).
     corner_gather: bool = True
+    # inference-only fused Pallas MLP chains (no VJP — keep False for
+    # training; bench/serving opt in). See nn/mlp.py use_pallas.
+    pallas_mlp: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -81,6 +84,7 @@ class MVNeRFRenderer(nn.Module):
                   embed_direction_vector=self.embed_direction_vector,
                   n_input_features=(self.n_features + 3 if self.corner_gather
                                     else None),
+                  use_pallas=self.pallas_mlp,
                   dtype=self.dtype)
         self.coarse_embedding = MVResNetMLPEmbedding(**kw)
         self.coarse_readout = RenderReadout(4, dtype=self.dtype)

@@ -119,6 +119,11 @@ class MVResNetMLPEmbedding(nn.Module):
     # pre-project the full-res feature image via `project_image` and pass the
     # gathered result with features_projected=True. Param tree is unchanged.
     n_input_features: Optional[int] = None
+    # inference-only: run the residual-block chains as the fused Pallas TPU
+    # kernel (all weights + hidden stream VMEM-resident, one HBM read/write
+    # per row — ops/pallas/resmlp.py; ~1.45x over the XLA chain at bench
+    # scale). No VJP: init and complete_output fall back to the jnp path.
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -165,6 +170,10 @@ class MVResNetMLPEmbedding(nn.Module):
             x = head + features.astype(head.dtype)
         else:
             x = self.layer_0(jnp.concatenate([enc, features], axis=-1))
+        if (self.use_pallas and not self.complete_output
+                and not self.is_initializing()):
+            return self._pallas_chain(x)
+
         outputs = [x]
         for block in self.feature_blocks:
             outputs.append(block(outputs[-1]))
@@ -176,3 +185,32 @@ class MVResNetMLPEmbedding(nn.Module):
         for block in self.fusion_blocks:
             outputs.append(block(outputs[-1]))
         return outputs if self.complete_output else outputs[-1]
+
+    def _pallas_chain(self, x):
+        """Both residual-block halves as fused VMEM-resident Pallas kernels,
+        with the mean view-fusion between them. Same math as the jnp path
+        (kernel parity-tested in tests/test_kernels.py); hidden stream
+        accumulates in f32 inside the kernel."""
+        from ..ops.pallas.resmlp import resmlp_rows
+
+        dt = x.dtype
+
+        def flat(blocks):
+            out = []
+            for blk in blocks:
+                p = blk.variables["params"]
+                out += [p["layer_0"]["kernel"].astype(dt),
+                        p["layer_0"]["bias"].astype(dt),
+                        p["layer_1"]["kernel"].astype(dt),
+                        p["layer_1"]["bias"].astype(dt)]
+            return tuple(out)
+
+        shape = x.shape
+        h1 = resmlp_rows(x.reshape(-1, shape[-1]), flat(self.feature_blocks),
+                         len(self.feature_blocks), skip_input=True, tile=1024)
+        h1 = h1.reshape(shape)
+        fused = h1.reshape((-1, self.n_views) + shape[1:]).mean(axis=1)
+        h2 = resmlp_rows(fused.reshape(-1, shape[-1]),
+                         flat(self.fusion_blocks),
+                         len(self.fusion_blocks), skip_input=True, tile=1024)
+        return h2.reshape(fused.shape)

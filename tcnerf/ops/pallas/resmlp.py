@@ -36,19 +36,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _chain_kernel(n_blocks: int, readout: bool, activation: str,
-                  x_ref, *refs):
-    """refs layout: w0, b0, [wA_i, bA_i, wB_i, bB_i] * n_blocks,
-    (readout_w, readout_b)?, out_ref (last)."""
+                  skip_input: bool, x_ref, *refs):
+    """refs layout: [w0, b0 unless skip_input], [wA_i, bA_i, wB_i, bB_i] *
+    n_blocks, (readout_w, readout_b)?, out_ref (last). skip_input=True means
+    x already IS the hidden stream (layer_0 applied outside — e.g. the
+    corner-gather path folds its feature slice into the image and adds the
+    pos/dir head before the kernel)."""
     out_ref = refs[-1]
     weights = refs[:-1]
     act = jax.nn.relu if activation == "relu" else jax.nn.elu
 
-    w0 = weights[0][:]
-    b0 = weights[1][:]
-    x = x_ref[:]
-    h = jnp.dot(x, w0, preferred_element_type=jnp.float32) + b0
-
-    idx = 2
+    if skip_input:
+        h = x_ref[:].astype(jnp.float32)
+        idx = 0
+    else:
+        w0 = weights[0][:]
+        b0 = weights[1][:]
+        x = x_ref[:]
+        h = jnp.dot(x, w0, preferred_element_type=jnp.float32) + b0
+        idx = 2
     for _ in range(n_blocks):
         wa, ba = weights[idx][:], weights[idx + 1][:]
         wb, bb = weights[idx + 2][:], weights[idx + 3][:]
@@ -83,13 +89,16 @@ def _flatten_params(mlp_params, n_blocks: int, prefix: str,
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "readout",
                                              "activation", "tile",
-                                             "interpret"))
+                                             "interpret", "skip_input"))
 def resmlp_rows(x, flat_weights: Tuple, n_blocks: int, readout: bool = False,
                 activation: str = "relu", tile: int = 512,
-                interpret: bool = False):
-    """Run the fused chain over rows. x: [N, D_in] -> [N, H] or [N, out]."""
+                interpret: bool = False, skip_input: bool = False):
+    """Run the fused chain over rows. x: [N, D_in] -> [N, H] or [N, out].
+    skip_input=True: x is already the hidden stream; flat_weights then holds
+    only the block (and optional readout) weights."""
     n, d_in = x.shape
-    out_dim = flat_weights[-2].shape[1] if readout else flat_weights[0].shape[1]
+    out_dim = (flat_weights[-2].shape[1] if readout
+               else (d_in if skip_input else flat_weights[0].shape[1]))
 
     n_pad = _round_up(max(n, tile), tile)
     if n_pad != n:
@@ -108,7 +117,8 @@ def resmlp_rows(x, flat_weights: Tuple, n_blocks: int, readout: bool = False,
             in_specs.append(pl.BlockSpec(
                 wgt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_chain_kernel, n_blocks, readout, activation)
+    kernel = functools.partial(_chain_kernel, n_blocks, readout, activation,
+                               skip_input)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -122,11 +132,15 @@ def resmlp_rows(x, flat_weights: Tuple, n_blocks: int, readout: bool = False,
 
 
 def resmlp_reference(x, flat_weights, n_blocks: int, readout: bool = False,
-                     activation: str = "relu"):
+                     activation: str = "relu", skip_input: bool = False):
     """jnp oracle with identical math (for parity tests and the VJP)."""
     act = jax.nn.relu if activation == "relu" else jax.nn.elu
-    h = x @ flat_weights[0] + flat_weights[1]
-    idx = 2
+    if skip_input:
+        h = x
+        idx = 0
+    else:
+        h = x @ flat_weights[0] + flat_weights[1]
+        idx = 2
     for _ in range(n_blocks):
         wa, ba, wb, bb = flat_weights[idx:idx + 4]
         idx += 4

@@ -440,3 +440,17 @@ class TestCornerGather:
         np.testing.assert_array_equal(c4[0, 1, 2, 9:12], img[0, 2, 3])
         # edge clamp
         np.testing.assert_array_equal(c4[0, 3, 5, 9:12], img[0, 3, 5])
+
+
+class TestResMLPSkipInput:
+    def test_skip_input_parity(self, rng):
+        """skip_input=True treats x as the hidden stream (layer_0 folded
+        outside — the corner-gather path); weights hold blocks only."""
+        hidden, n_blocks = 128, 3
+        flat = _random_weights(rng, hidden, hidden, n_blocks)[2:]  # drop w0/b0
+        x = jnp.asarray(rng.normal(size=(300, hidden)).astype(np.float32))
+        got = resmlp_rows(x, tuple(flat), n_blocks, skip_input=True,
+                          tile=128, interpret=True)
+        want = resmlp_reference(x, flat, n_blocks, skip_input=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)

@@ -246,3 +246,29 @@ class TestCornerGatherParity:
         for a, b in zip(out_c[:4], out_s[:4]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=1e-3)
+
+
+@pytest.mark.skipif(jax.devices()[0].platform == "cpu",
+                    reason="real Pallas kernels need a TPU backend")
+class TestPallasMLPRenderer:
+    def test_pallas_mlp_matches_jnp_chain(self, scene_data):
+        """pallas_mlp=True runs the residual chains as the fused VMEM
+        kernel; output must match the jnp chain within bf16-execution
+        tolerance (kernel accumulates in f32, jnp chain in the module
+        dtype)."""
+        scene, colors, configs = scene_data
+        rng = np.random.default_rng(13)
+        inputs, _ = make_batch(scene, colors, configs, rng, n_rays=16)
+        cfg = dict(TINY)
+        cfg["hidden_size"] = 128  # kernel wants lane-aligned hidden width
+        m_ref = MVNeRFRenderer(**cfg)
+        m_pal = MVNeRFRenderer(**cfg, pallas_mlp=True)
+        variables = m_ref.init({"params": jax.random.PRNGKey(0),
+                                "sampling": jax.random.PRNGKey(1)}, inputs)
+        out_r = m_ref.apply(variables, inputs,
+                            rngs={"sampling": jax.random.PRNGKey(2)})
+        out_p = m_pal.apply(variables, inputs,
+                            rngs={"sampling": jax.random.PRNGKey(2)})
+        for a, b in zip(out_r[:4], out_p[:4]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=8e-3)

@@ -16,7 +16,6 @@ Outputs are nested flax param dicts that tree-match the random-init trees.
 
 from __future__ import annotations
 
-import pickle
 from typing import Dict
 
 import numpy as np
@@ -29,17 +28,12 @@ def _np(x):
 
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a pickled state dict; handles torch.save archives when torch exists."""
-    try:
-        import torch
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-        if hasattr(obj, "state_dict"):
-            obj = obj.state_dict()
-        return {k: _np(v) for k, v in obj.items()}
-    except ImportError:
-        with open(path, "rb") as f:
-            obj = pickle.load(f)
-        return {k: _np(v) for k, v in obj.items()}
+    """Load a torch.save state-dict archive (weights only; no pickled code)."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: _np(v) for k, v in obj.items()}
 
 
 def _conv(w):

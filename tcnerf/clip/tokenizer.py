@@ -110,6 +110,12 @@ class SimpleTokenizer:
         else:
             merges = []
             self.is_fallback_vocab = True
+            import warnings
+            warnings.warn(
+                "CLIP BPE merges file not found (bpe_path/$TCNERF_CLIP_BPE): "
+                "using the byte-level fallback vocabulary. Token ids will NOT "
+                "match OpenAI CLIP — supply bpe_simple_vocab_16e6.txt.gz for "
+                "id-exact tokenization.", stacklevel=2)
 
         self.encoder = {tok: i for i, tok in enumerate(vocab)}
         self.encoder["<|startoftext|>"] = SOT_TOKEN

@@ -23,14 +23,15 @@ RENDERER_COMPONENTS = ("coarse_embedding", "coarse_readout", "fine_embedding",
                        "fine_readout", "visual_features", "combine_clip_visual")
 RENDERER_WITHOUT_COMPONENTS = ("coarse_embedding", "coarse_readout",
                                "fine_embedding", "fine_readout", "visual_features")
-GRASP_COMPONENTS = ("fine_embedding", "visual_features", "grasp_readout")
+GRASP_COMPONENTS = ("fine_embedding", "visual_features", "grasp_readout",
+                    "hash_tables")
 BACKBONE_COMPONENTS = ("fine_embedding", "visual_features")
 
 SUFFIX = ".msgpack"
 
 
-def component_path(path: str, component: str) -> str:
-    return f"{path}_{component}{SUFFIX}"
+def component_path(path: str, component: str, suffix: str = SUFFIX) -> str:
+    return f"{path}_{component}{suffix}"
 
 
 def store(path: str, params: Dict, components: Iterable[str]) -> None:
@@ -50,8 +51,19 @@ def exists(path: str, components: Iterable[str]) -> bool:
 def load(path: str, params: Dict, components: Iterable[str],
          verbose: bool = False) -> Optional[Dict]:
     """Return params with the listed components replaced, or None if any file
-    is missing (all-or-nothing, like the reference's .index checks)."""
+    is missing (all-or-nothing, like the reference's .index checks).
+    Components the model does not have (e.g. `hash_tables` on a non-hash
+    grasp field) are ignored — `store` skips them symmetrically.
+
+    Falls back to reference-format TF checkpoints: when the msgpack files
+    are absent but `<path>_<component>.index` tensor bundles exist (keras
+    save_weights output, reference model_v0.py:199-240), they are imported
+    via the pure-python bundle reader in tcnerf.models.tf_checkpoint."""
+    components = [c for c in components if c in params]
     if not exists(path, components):
+        if all(os.path.exists(component_path(path, c, ".index"))
+               for c in components):
+            return load_tf(path, params, components)
         if verbose:
             missing = [c for c in components
                        if not os.path.exists(component_path(path, c))]
@@ -64,3 +76,26 @@ def load(path: str, params: Dict, components: Iterable[str],
         new_params[component] = flax.serialization.from_bytes(
             params[component], blob)
     return new_params
+
+
+def load_tf(path: str, params: Dict, components: Iterable[str]) -> Dict:
+    """Import reference-format (TF tensor-bundle) per-component checkpoints."""
+    from . import tf_checkpoint as tfc
+
+    new_params = dict(params)
+    for component in components:
+        new_params[component] = tfc.import_component(
+            component_path(path, component, ""), params[component])
+    return new_params
+
+
+def store_tf(path: str, params: Dict, components: Iterable[str]) -> None:
+    """Export components in the reference's TF tensor-bundle layout so
+    reference tooling can consume tcnerf-trained weights."""
+    from . import tf_checkpoint as tfc
+
+    for component in components:
+        if component not in params:
+            continue
+        tfc.export_component(component_path(path, component, ""),
+                             jax.device_get(params[component]))

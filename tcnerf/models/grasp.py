@@ -102,6 +102,20 @@ class GraspEBM(nn.Module):
     # corner image is pose-independent so XLA hoists it out of the pose-
     # optimization scan. False = reference-shaped 4-tap scattered gather.
     corner_gather: bool = True
+    # instant-NGP hash-grid positional field (BASELINE config 4): a trainable
+    # multiresolution hash encoding of the probe WORLD positions feeds the
+    # energy readout as an extra stream (reference field: the delta_ngf
+    # grasp field src/lib/delta_ngf/model.py). The NeRF backbone params are
+    # untouched, so frozen-backbone checkpoints keep loading; the tables and
+    # the extra readout downscale train with the head.
+    hash_encoding: bool = False
+    hash_levels: int = 16
+    hash_size_log2: int = 14
+    hash_features: int = 2
+    hash_base_res: int = 16
+    hash_finest_res: int = 512
+    workspace_bounds: Tuple[Tuple[float, float], ...] = (
+        (0.35, 0.85), (-0.25, 0.25), (0.0, 0.2))
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -142,6 +156,17 @@ class GraspEBM(nn.Module):
                     activation=self.fusion_activation, dtype=self.dtype)
             else:
                 self.combine_clip_visual = cls(dtype=self.dtype)
+        if self.hash_encoding:
+            from ..ops.hashgrid import HashGridConfig, init_hash_params
+            self.hash_cfg = HashGridConfig(
+                n_levels=self.hash_levels,
+                table_size_log2=self.hash_size_log2,
+                features_per_level=self.hash_features,
+                base_resolution=self.hash_base_res,
+                finest_resolution=self.hash_finest_res,
+                bounds=tuple(tuple(b) for b in self.workspace_bounds))
+            self.hash_tables = self.param(
+                "hash_tables", lambda key: init_hash_params(key, self.hash_cfg))
         self.probes = jnp.asarray(probe_transforms(self.n_5d_poses))
         self.z_dir = jnp.asarray([0.0, 0.0, 1.0])
 
@@ -225,7 +250,14 @@ class GraspEBM(nn.Module):
         # (reference takes [4:] of the 8-entry list for n_blocks=6,
         # grasp_mvnerf/model.py:155; generalized to any depth)
         n_skip = self.n_blocks // 2 + 1
-        return self.grasp_readout(activations[n_skip:])
+        extra = None
+        if self.hash_encoding:
+            from ..ops.hashgrid import hash_encode
+            # probe positions in WORLD frame (view-independent, like the
+            # post-fusion activations which have leading axis B)
+            extra = hash_encode(self.hash_tables, translations, self.hash_cfg)
+            extra = extra.astype(activations[-1].dtype)
+        return self.grasp_readout(activations[n_skip:], extra)
 
     def __call__(self, poses, src_images, src_intrinsics, src_extrinsics_inv,
                  batched_features=None):

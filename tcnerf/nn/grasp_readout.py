@@ -27,13 +27,21 @@ class GraspReadout(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, activations: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, activations: Sequence[jnp.ndarray],
+                 extra: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         act = _activation(self.activation)
         init = _kernel_init(self.kernel_initializer)
         ds = []
         for i, a in enumerate(activations[:4]):
             ds.append(act(nn.Dense(self.activation_downscale, kernel_init=init,
                                    dtype=self.dtype, name=f"activation_downscale_{i + 1}")(a)))
+        if extra is not None:
+            # auxiliary per-probe feature stream (e.g. the hash-grid encoding
+            # of probe positions, BASELINE config 4); gets its own downscale
+            # so the param tree only grows when the stream is enabled
+            ds.append(act(nn.Dense(self.activation_downscale, kernel_init=init,
+                                   dtype=self.dtype,
+                                   name="activation_downscale_extra")(extra)))
         combined = jnp.concatenate(ds, axis=-1)
         combined = act(nn.Dense(64, dtype=self.dtype,
                                 name="combined_activation_downscale")(combined))

@@ -119,10 +119,12 @@ class MVResNetMLPEmbedding(nn.Module):
     # pre-project the full-res feature image via `project_image` and pass the
     # gathered result with features_projected=True. Param tree is unchanged.
     n_input_features: Optional[int] = None
-    # inference-only: run the residual-block chains as the fused Pallas TPU
-    # kernel (all weights + hidden stream VMEM-resident, one HBM read/write
-    # per row — ops/pallas/resmlp.py; ~1.45x over the XLA chain at bench
-    # scale). No VJP: init and complete_output fall back to the jnp path.
+    # run the residual-block chains as the fused Pallas TPU kernel (all
+    # weights + hidden stream VMEM-resident, one HBM read/write per row —
+    # ops/pallas/resmlp.py; ~1.45x over the XLA chain at bench scale).
+    # Differentiable: backward remats through the jnp reference
+    # (resmlp_rows_diff), so training may enable it too. init and
+    # complete_output fall back to the jnp path.
     use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -190,8 +192,9 @@ class MVResNetMLPEmbedding(nn.Module):
         """Both residual-block halves as fused VMEM-resident Pallas kernels,
         with the mean view-fusion between them. Same math as the jnp path
         (kernel parity-tested in tests/test_kernels.py); hidden stream
-        accumulates in f32 inside the kernel."""
-        from ..ops.pallas.resmlp import resmlp_rows
+        accumulates in f32 inside the kernel. Differentiable via
+        resmlp_rows_diff (remat-jnp backward)."""
+        from ..ops.pallas.resmlp import resmlp_rows_diff as resmlp_rows
 
         dt = x.dtype
 
@@ -206,11 +209,13 @@ class MVResNetMLPEmbedding(nn.Module):
             return tuple(out)
 
         shape = x.shape
+        # positional args: custom_vjp with nondiff_argnums forbids keywords
+        # (x, weights, n_blocks, readout, activation, tile, skip_input)
         h1 = resmlp_rows(x.reshape(-1, shape[-1]), flat(self.feature_blocks),
-                         len(self.feature_blocks), skip_input=True, tile=1024)
+                         len(self.feature_blocks), False, "relu", 1024, True)
         h1 = h1.reshape(shape)
         fused = h1.reshape((-1, self.n_views) + shape[1:]).mean(axis=1)
         h2 = resmlp_rows(fused.reshape(-1, shape[-1]),
                          flat(self.fusion_blocks),
-                         len(self.fusion_blocks), skip_input=True, tile=1024)
+                         len(self.fusion_blocks), False, "relu", 1024, True)
         return h2.reshape(fused.shape)

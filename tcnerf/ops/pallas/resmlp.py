@@ -14,9 +14,12 @@ flag (tcnerf.models.renderer use_pallas):
   resmlp_chain(x, params, n_blocks, readout=None) with params from
   nn.mlp.MVResNetMLPEmbedding / nn.blocks.RenderReadout param trees.
 
-Differentiability: forward-only kernel with a custom VJP whose backward falls
-back to the reference jnp implementation (training uses the jnp path anyway;
-the kernel serves the inference/bench hot loop).
+Differentiability: `resmlp_rows` is the raw forward kernel;
+`resmlp_rows_diff` wraps it in a jax.custom_vjp whose backward rematerializes
+the chain with the jnp reference implementation and backpropagates through it
+(one extra forward of XLA matmuls — the classic remat trade). Training can
+therefore run the fused kernel on the forward pass (nn/mlp.py use_pallas);
+grad parity vs the pure-jnp path is tested in tests/test_kernels.py.
 """
 
 from __future__ import annotations
@@ -129,6 +132,45 @@ def resmlp_rows(x, flat_weights: Tuple, n_blocks: int, readout: bool = False,
         interpret=interpret,
     )(x, *flat_weights)
     return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def resmlp_rows_diff(x, flat_weights: Tuple, n_blocks: int,
+                     readout: bool = False, activation: str = "relu",
+                     tile: int = 512, skip_input: bool = False,
+                     interpret: bool = False):
+    """Differentiable wrapper: Pallas forward, remat-jnp backward.
+
+    Same signature/semantics as `resmlp_rows`. All args after flat_weights
+    are nondiff and must be passed POSITIONALLY (custom_vjp restriction);
+    flat_weights MUST be a tuple (custom_vjp flattens the diff args)."""
+    return resmlp_rows(x, flat_weights, n_blocks, readout=readout,
+                       activation=activation, tile=tile,
+                       skip_input=skip_input, interpret=interpret)
+
+
+def _resmlp_diff_fwd(x, flat_weights, n_blocks, readout, activation, tile,
+                     skip_input, interpret):
+    out = resmlp_rows(x, flat_weights, n_blocks, readout=readout,
+                      activation=activation, tile=tile, skip_input=skip_input,
+                      interpret=interpret)
+    return out, (x, flat_weights)
+
+
+def _resmlp_diff_bwd(n_blocks, readout, activation, tile, skip_input,
+                     interpret, residuals, g):
+    x, flat_weights = residuals
+
+    def ref(x_, weights_):
+        return resmlp_reference(x_, weights_, n_blocks, readout=readout,
+                                activation=activation, skip_input=skip_input)
+
+    _, vjp = jax.vjp(ref, x, flat_weights)
+    dx, dw = vjp(g.astype(x.dtype) if g.dtype != x.dtype else g)
+    return dx, dw
+
+
+resmlp_rows_diff.defvjp(_resmlp_diff_fwd, _resmlp_diff_bwd)
 
 
 def resmlp_reference(x, flat_weights, n_blocks: int, readout: bool = False,

@@ -40,6 +40,18 @@ def build_grasp_model(cfg, n_points_train: Optional[int] = None,
         clip_text_layers=nm.get("clip_text_layers", 12),
         clip_image_size=nm.get("clip_image_size", 224),
     )
+    if gm.get("encoding", "fourier") == "hashgrid":
+        # instant-NGP hash-grid grasp field (BASELINE config 4); bounds come
+        # from the data-generator workspace so the unit cube covers it
+        kwargs.update(
+            hash_encoding=True,
+            hash_levels=gm.get("hash_levels", 16),
+            hash_size_log2=gm.get("hash_size_log2", 14),
+            hash_features=gm.get("hash_features", 2),
+            hash_base_res=gm.get("hash_base_res", 16),
+            hash_finest_res=gm.get("hash_finest_res", 512),
+            workspace_bounds=tuple(
+                tuple(b) for b in cfg.generator_grasp.workspace_bounds))
     if readout_flavor == "goal":
         # grasp_mvnerf flavor: elu + glorot + bias (reference grasp_mvnerf/layers.py)
         kwargs.update(readout_activation="elu", readout_use_bias=True,

@@ -14,6 +14,7 @@ import numpy as np
 
 from ..data.generators import DeltaNGFDataGenerator
 from ..data.loaders import ensure_dataset, load_dataset
+from ..data.prefetch import prefetched_epochs
 from ..models import checkpoint as ckpt
 from ..models import grasp_training as GT
 from ..utils.logging import logger
@@ -100,12 +101,11 @@ def run_delta_training(cfg, generator_cls=DeltaNGFDataGenerator, sync=True,
 
     def fit_epochs(i_epoch, e_epoch):
         metrics = {}
-        for _ in range(e_epoch - i_epoch):
-            for inputs, labels in data_generator.epoch():
-                state_box["state"], metrics = GT.delta_ngf_train_step(
-                    state_box["state"], inputs,
-                    [np.asarray(t) for t in labels], loss_name, rotation,
-                    use_tokens)
+        for inputs, labels in prefetched_epochs(data_generator,
+                                                e_epoch - i_epoch):
+            state_box["state"], metrics = GT.delta_ngf_train_step(
+                state_box["state"], inputs, list(labels), loss_name, rotation,
+                use_tokens)
         pose_optimizer.params = state_box["state"].params
         logger.info(
             f"epoch {e_epoch}: " + " ".join(

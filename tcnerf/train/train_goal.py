@@ -13,6 +13,7 @@ import numpy as np
 
 from ..data.generators import GraspMVNeRFDataGenerator
 from ..data.loaders import ensure_dataset, load_dataset_baseline
+from ..data.prefetch import prefetched_epochs
 from ..models import checkpoint as ckpt
 from ..models import grasp_training as GT
 from ..utils.logging import logger
@@ -68,10 +69,10 @@ def main(cfg):
     state_box = {"state": state}
 
     def fit_epochs(i_epoch, e_epoch):
-        for _ in range(e_epoch - i_epoch):
-            for inputs, labels in data_generator.epoch():
-                state_box["state"], metrics = GT.grasp_train_step(
-                    state_box["state"], inputs, np.asarray(labels), loss_name)
+        for inputs, labels in prefetched_epochs(data_generator,
+                                                e_epoch - i_epoch):
+            state_box["state"], metrics = GT.grasp_train_step(
+                state_box["state"], inputs, labels, loss_name)
         pose_optimizer.params = state_box["state"].params
         logger.info(f"epoch {e_epoch}: loss {float(metrics['loss']):.5f}")
 

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..data.generators import MVNeRFDataGenerator
 from ..data.loaders import ensure_dataset, load_dataset_nerf
+from ..data.prefetch import prefetched_epochs
 from ..models import checkpoint as ckpt
 from ..models import training as T
 from ..models.inference import psnr, render_view
@@ -91,12 +92,11 @@ def train_model(model, state, data_generator, cfg, valid_data, rng):
 
     for k in range(start_n_fit, n_fits):
         e_epoch = (k + 1) * nt.eval_after_epochs
-        for _ in range(nt.eval_after_epochs):
-            for inputs, labels in data_generator.epoch():
-                rng, step_key = jax.random.split(rng)
-                state, metrics = T.nerf_train_step(
-                    state, jax.tree_util.tree_map(np.asarray, inputs),
-                    np.asarray(labels), step_key)
+        # double-buffered feed: batch synthesis + device_put overlap the step
+        for inputs, labels in prefetched_epochs(data_generator,
+                                                nt.eval_after_epochs):
+            rng, step_key = jax.random.split(rng)
+            state, metrics = T.nerf_train_step(state, inputs, labels, step_key)
         logger.info(f"epoch {e_epoch}: loss {float(metrics['loss']):.5f}")
 
         run_validation(model, {"params": state.params}, valid_data,

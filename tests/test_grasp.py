@@ -259,3 +259,52 @@ class TestGraspCornerGatherParity:
         # ~4e-3. On a true-CPU runner the two paths agree to ~1e-6.
         np.testing.assert_allclose(np.asarray(e_corner), np.asarray(e_scatter),
                                    rtol=2e-2, atol=8e-3)
+
+
+class TestHashGridField:
+    """Hash-grid grasp field (BASELINE config 4): the instant-NGP encoding of
+    probe world positions feeds the energy readout as an extra stream."""
+
+    def test_energy_and_table_gradients(self, grasp_setup):
+        _, _, inputs, _ = grasp_setup
+        model = GraspEBM(**TINY, hash_encoding=True, hash_levels=4,
+                         hash_size_log2=8, hash_finest_res=64,
+                         workspace_bounds=WORKSPACE)
+        rng = np.random.default_rng(5)
+        poses = np.stack([np.eye(4, dtype=np.float32)] * 4)[None]
+        poses[0, :, :3, 3] = rng.uniform(0.35, 0.6, size=(4, 3)).astype(np.float32)
+        poses = jnp.asarray(poses)
+        params = model.init(jax.random.PRNGKey(0), poses, *inputs)["params"]
+        assert "hash_tables" in params
+        assert "activation_downscale_extra" in params["grasp_readout"]
+
+        energies = model.apply({"params": params}, poses, *inputs)
+        assert energies.shape == (1, 4)
+        assert np.all(np.isfinite(np.asarray(energies)))
+
+        def loss(p):
+            return jnp.sum(model.apply({"params": p}, poses, *inputs) ** 2)
+
+        grads = jax.grad(loss)(params)
+        g_tables = np.asarray(grads["hash_tables"])
+        assert np.isfinite(g_tables).all()
+        assert np.abs(g_tables).max() > 0.0  # tables actually train
+
+    def test_checkpoint_roundtrip_with_hash(self, grasp_setup, tmp_path):
+        """GRASP_COMPONENTS stores/loads hash_tables when present and skips
+        it for non-hash models (all-or-nothing otherwise)."""
+        from tcnerf.models import checkpoint as ckpt
+
+        _, _, inputs, _ = grasp_setup
+        model = GraspEBM(**TINY, hash_encoding=True, hash_levels=2,
+                         hash_size_log2=6, hash_finest_res=32,
+                         workspace_bounds=WORKSPACE)
+        poses = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * 2)[None])
+        params = model.init(jax.random.PRNGKey(1), poses, *inputs)["params"]
+        path = str(tmp_path / "model_final")
+        ckpt.store(path, params, ckpt.GRASP_COMPONENTS)
+        zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+        restored = ckpt.load(path, zeroed, ckpt.GRASP_COMPONENTS)
+        assert restored is not None
+        np.testing.assert_array_equal(np.asarray(restored["hash_tables"]),
+                                      np.asarray(params["hash_tables"]))

@@ -74,18 +74,19 @@ def main():
 
     n_chunks = 16  # rays per dispatch = n_chunks * n_rays (amortizes the
     # host->device dispatch latency of the tunneled chip)
-    use_binned = os.environ.get("TCNERF_BENCH_PATH", "") == "binned"
+    path = os.environ.get("TCNERF_BENCH_PATH", "swg")
 
-    if use_binned:
-        from tcnerf.models.fused import binned_render_rays
+    if path == "swg":
+        # sorted-window fused gather+MLP kernel (ops/pallas/swg.py)
+        from tcnerf.models.fused import swg_render_rays
 
         @jax.jit
         def render_many(params, ray_o, ray_d, keys):
             def chunk(carry, key):
-                out = binned_render_rays(
+                out = swg_render_rays(
                     params, ray_o, ray_d, src_images_b, inputs[3], inputs[4],
-                    features, key, n_samples=64, near=0.3, far=1.3, n_blocks=6,
-                    tile=(8, 8), capacity_factor=4.0)
+                    features, key, n_samples=64, near=0.3, far=1.3,
+                    n_blocks=6, ka=4, bq=512)
                 return carry + jnp.sum(out[2].astype(jnp.float32)), None
 
             acc, _ = jax.lax.scan(chunk, jnp.zeros(()), keys)
@@ -117,14 +118,51 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_iters * n_chunks * n_rays / dt
+
+    clip_ips = None
+    if os.environ.get("TCNERF_BENCH_CLIP", "1") != "0":
+        clip_ips = round(bench_clip(), 1)
+
     print(json.dumps({
-        "metric": ("rays/sec/chip (binned-gather hierarchical render, "
-                   "64+128 samples)" if use_binned else
+        "metric": ("rays/sec/chip (sorted-window fused hierarchical render, "
+                   "64+128 samples)" if path == "swg" else
                    "rays/sec/chip (fused hierarchical render, 64+128 samples)"),
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / NORTH_STAR, 4),
+        "clip_images_per_sec": clip_ips,
     }))
+
+
+def bench_clip(batch: int = 32, iters: int = 4):
+    """CLIP RN50 visual-tower throughput (images/sec) at 224^2, bf16.
+
+    BASELINE.json's metric line names 'CLIP images/sec' alongside the render
+    throughput; the tower is the frozen encoder every CLIP-fused variant runs
+    per source view (reference src/lib/clip/model.py:5-8)."""
+    from tcnerf.clip.model import CLIPVisualEncoder
+
+    model = CLIPVisualEncoder(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(size=(batch, 224, 224, 3)),
+                       jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), imgs)
+
+    @jax.jit
+    def run(imgs):
+        def step(c, _):
+            out = model.apply(params, imgs + c.astype(imgs.dtype) * 0)
+            return c + out[0].astype(jnp.float32).sum() * 0, None
+        acc, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(4))
+        return acc
+
+    _ = float(run(imgs))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(imgs)
+    _ = float(out)
+    dt = (time.perf_counter() - t0) / (iters * 4)
+    return batch / dt
 
 
 if __name__ == "__main__":

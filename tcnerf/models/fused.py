@@ -111,100 +111,98 @@ def fused_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
     return rgb, depth, fine_rgb, fine_depth
 
 
-def binned_field(flat_weights, world_points, z, cam_dirs, normalized_images,
-                 src_intrinsics, src_extrinsics_inv, patches, image_hw,
-                 n_blocks: int, tile=(8, 8), capacity_factor: float = 4.0,
-                 n_freq: int = 10, group: int = 512):
-    """Field evaluation with the binned one-hot-matmul gather (n_views=1).
+def swg_field(stage_params, world_points, z, cam_dirs, img_grouped,
+              w_pad: int, w_groups: int, image_hw, src_intrinsics,
+              src_extrinsics_inv, n_blocks: int, n_freq: int = 10,
+              ka: int = 6, bq: int = 512, fast: bool = True,
+              nsplit: int = 1, interpret: bool = False):
+    """Field evaluation via the sorted-window fused gather+MLP kernel
+    (ops/pallas/swg.py; 1-view serving). stage_params = (head_k, head_b,
+    flat_block_and_readout_weights)."""
+    from ..ops.pallas.swg import swg_rows
 
-    `patches` are precomputed halo tiles of concat(normalized_rgb, features)
-    (ops.binned_gather.build_halo_patches) — built once per scene. The MLP runs
-    on the SORTED slot layout [T*K, D]; only the 4-wide readout is unsorted.
-    Capacity overflow contributes zero features (serving path; see
-    docs/perf_notes.md).
-    """
-    from ..ops import binned_gather as bg
-
+    head_k, head_b, flat = stage_params
     b, r, s, _ = world_points.shape
     h, w = image_hw
-    th, tw = tile
     pixel_xy, cam_points = projection.project_points_mv(
         world_points, src_intrinsics, src_extrinsics_inv)
     coords = pixel_xy.reshape(-1, 2)
-    n = coords.shape[0]
-    n_tiles = (h // th) * (w // tw)
-    capacity = max(8, -(-int(n * capacity_factor) // n_tiles))
-    capacity = -(-capacity // 8) * 8
-
-    info = bg.bin_samples(coords, h, w, tile, capacity)
-    feats_slots = bg.gather_sorted(patches, info, tile, w, group)  # [T, K, C]
-    t, k, c = feats_slots.shape
-
-    # permute the small per-sample inputs into slot layout
     pos = cam_points[..., :3].reshape(-1, 3)
     dirs = jnp.broadcast_to(cam_dirs[:, :, :, None, :],
                             (b, 1, r, s, 3)).reshape(-1, 3)
-    pad = lambda a: jnp.concatenate([a, jnp.zeros((1, a.shape[1]), a.dtype)])
-    pos_s = pad(pos)[info.slots.reshape(-1)]
-    dirs_s = pad(dirs)[info.slots.reshape(-1)]
-
-    x = jnp.concatenate([
-        positional_encoding(pos_s, n_freq),
-        positional_encoding(dirs_s, n_freq),
-        feats_slots.reshape(t * k, c),
-    ], axis=-1).astype(patches.dtype)
-    out = resmlp_rows(x, flat_weights, n_blocks, readout=True,
-                      tile=1024)                      # [T*K, 4]
-    out = bg.unsort(out.reshape(t, k, 4), info, n).astype(jnp.float32)
-    out = out.reshape(b, r, s, 4)
+    out, _ = swg_rows(img_grouped, w_pad, w_groups, w, h, coords, pos, dirs,
+                      head_k, head_b, flat, n_blocks, n_freq=n_freq, ka=ka,
+                      bq=bq, fast=fast, nsplit=nsplit, interpret=interpret)
+    out = out.astype(jnp.float32).reshape(b, r, s, 4)
     chroma = jax.nn.sigmoid(out[..., :3])
     density = jax.nn.softplus(out[..., 3])
-    # uncovered samples (capacity overflow) -> zero density (transparent)
-    covered = info.covered.reshape(b, r, s)
-    density = jnp.where(covered, density, 0.0)
     return chroma, density
 
 
-def binned_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
-                       src_extrinsics_inv, combined_features, key,
-                       n_samples: int = 64, near: float = 0.3, far: float = 1.3,
-                       n_blocks: int = 6, tile=(8, 8),
-                       capacity_factor: float = 4.0):
-    """Hierarchical render with the binned gather path (1-view serving)."""
-    from ..ops import binned_gather as bg
+def swg_stage_params(params, stage: str, n_blocks: int, dtype):
+    """(head_kernel, head_bias, flat block+readout weights) for a stage.
+
+    The layer_0 kernel splits at the pos/dir-encoding width: rows [:pd] form
+    the head applied to encodings, rows [pd:] are pre-projected into the
+    feature image (SliceableDense semantics, nn/mlp.py)."""
+    emb = params[f"{stage}_embedding"]
+    k = emb["layer_0"]["kernel"]
+    b0 = emb["layer_0"]["bias"]
+    flat = flatten_mv_params(emb, n_blocks, params[f"{stage}_readout"])[2:]
+    flat = tuple(w.astype(dtype) for w in flat)
+    return k, b0, flat
+
+
+def swg_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
+                    src_extrinsics_inv, combined_features, key,
+                    n_samples: int = 64, near: float = 0.3, far: float = 1.3,
+                    n_blocks: int = 6, pd: int = 120, ka: int = 6,
+                    bq: int = 512, nsplit: int = 1, fast: bool = True,
+                    interpret: bool = False):
+    """Hierarchical render with the sorted-window fused kernel (1-view
+    serving; parity with MVNeRFRenderer.render_rays semantics)."""
+    from ..ops.pallas.swg import prepare_image
 
     key_c, key_f = jax.random.split(key)
     dtype = combined_features.dtype
-    coarse = tuple(w_.astype(dtype) for w_ in flatten_mv_params(
-        params["coarse_embedding"], n_blocks, params["coarse_readout"]))
-    fine = tuple(w_.astype(dtype) for w_ in flatten_mv_params(
-        params["fine_embedding"], n_blocks, params["fine_readout"]))
+    b, v = src_images.shape[:2]
+    assert b == 1 and v == 1, "swg path is the 1-view serving configuration"
+
+    head_ck, head_cb, flat_c = swg_stage_params(params, "coarse", n_blocks,
+                                                dtype)
+    head_fk, head_fb, flat_f = swg_stage_params(params, "fine", n_blocks,
+                                                dtype)
 
     normalized = (src_images * 2.0 - 1.0).astype(dtype)
-    combined = jnp.concatenate([normalized, combined_features], axis=-1)
-    h, w = combined.shape[2], combined.shape[3]
-    patches = bg.build_halo_patches(combined[0, 0], tile)  # once per scene
+    combined = jnp.concatenate([normalized, combined_features], axis=-1)[0, 0]
+    h, w = combined.shape[:2]
+    img_c = combined @ head_ck[pd:].astype(dtype)   # pre-project: coarse
+    img_f = combined @ head_fk[pd:].astype(dtype)   # pre-project: fine
+    grouped_c, w_pad, w_groups = prepare_image(img_c, ka=ka)
+    grouped_f, _, _ = prepare_image(img_f, ka=ka)
+    stage_c = (head_ck[:pd], head_cb, flat_c)
+    stage_f = (head_fk[:pd], head_fb, flat_f)
 
-    world_points, z = sampling.sample_along_ray(key_c, ray_o, ray_d, near, far,
-                                                n_samples)
+    world_points, z = sampling.sample_along_ray(key_c, ray_o, ray_d, near,
+                                                far, n_samples)
     cam_dirs = projection.world_to_camera_directions_mv(ray_d,
                                                         src_extrinsics_inv)
-    chroma, density = binned_field(coarse, world_points, z, cam_dirs,
-                                   normalized, src_intrinsics,
-                                   src_extrinsics_inv, patches, (h, w),
-                                   n_blocks, tile, capacity_factor)
+    chroma, density = swg_field(stage_c, world_points, z, cam_dirs, grouped_c,
+                                w_pad, w_groups, (h, w), src_intrinsics,
+                                src_extrinsics_inv, n_blocks, ka=ka, bq=bq,
+                                fast=fast, nsplit=nsplit, interpret=interpret)
     rgb, depth, weights = render.volumetric_render(z, density, chroma)
 
     z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
     z_fine = sampling.sample_pdf(key_f, z_mid, weights[..., 1:-1], n_samples)
     from ..ops.sortmerge import merge_sorted, sort_small
     all_z = merge_sorted(z, sort_small(z_fine))
-    fine_points = ray_o[:, :, None, :] + all_z[..., None] * ray_d[:, :, None, :]
-    fine_chroma, fine_density = binned_field(fine, fine_points, all_z, cam_dirs,
-                                             normalized, src_intrinsics,
-                                             src_extrinsics_inv, patches,
-                                             (h, w), n_blocks, tile,
-                                             capacity_factor)
+    fine_points = (ray_o[:, :, None, :]
+                   + all_z[..., None] * ray_d[:, :, None, :])
+    fine_chroma, fine_density = swg_field(
+        stage_f, fine_points, all_z, cam_dirs, grouped_f, w_pad, w_groups,
+        (h, w), src_intrinsics, src_extrinsics_inv, n_blocks, ka=ka, bq=bq,
+        fast=fast, nsplit=nsplit, interpret=interpret)
     fine_rgb, fine_depth, _ = render.volumetric_render(all_z, fine_density,
                                                        fine_chroma)
     return rgb, depth, fine_rgb, fine_depth

@@ -38,43 +38,83 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _chain_kernel(n_blocks: int, readout: bool, activation: str,
-                  skip_input: bool, x_ref, *refs):
-    """refs layout: [w0, b0 unless skip_input], [wA_i, bA_i, wB_i, bB_i] *
-    n_blocks, (readout_w, readout_b)?, out_ref (last). skip_input=True means
-    x already IS the hidden stream (layer_0 applied outside — e.g. the
-    corner-gather path folds its feature slice into the image and adds the
-    pos/dir head before the kernel)."""
-    out_ref = refs[-1]
-    weights = refs[:-1]
+def chain_math(hs, weights, idx, n_blocks: int, readout: bool,
+               activation: str, fast: bool):
+    """The residual-block chain on a list of row-tile values.
+
+    hs: list of [rows, hidden] arrays (independent sub-tiles, interleaved in
+    program order so Mosaic can overlap one tile's VPU with another's MXU);
+    weights: sequence of refs/arrays starting at `idx` laid out as
+    [wA_i, bA_i, wB_i, bB_i] * n_blocks then optionally (w_r, b_r).
+    fast=True keeps the stream in the weight dtype between layers (serving);
+    otherwise the stream accumulates in f32 (training/parity path).
+    Returns the list of per-tile outputs.
+    """
     act = jax.nn.relu if activation == "relu" else jax.nn.elu
 
-    if skip_input:
-        h = x_ref[:].astype(jnp.float32)
-        idx = 0
-    else:
-        w0 = weights[0][:]
-        b0 = weights[1][:]
-        x = x_ref[:]
-        h = jnp.dot(x, w0, preferred_element_type=jnp.float32) + b0
-        idx = 2
+    def mm(r, w, b):
+        # Mosaic requires a 32-bit matmul accumulator; in fast mode the
+        # stream drops back to the weight dtype right after the bias.
+        out = jnp.dot(r.astype(w.dtype), w,
+                      preferred_element_type=jnp.float32) + b
+        return out.astype(w.dtype) if fast else out
+
     for _ in range(n_blocks):
         wa, ba = weights[idx][:], weights[idx + 1][:]
         wb, bb = weights[idx + 2][:], weights[idx + 3][:]
         idx += 4
-        r = act(h)
-        r = jnp.dot(r.astype(wa.dtype), wa, preferred_element_type=jnp.float32) + ba
-        r = act(r)
-        r = jnp.dot(r.astype(wb.dtype), wb, preferred_element_type=jnp.float32) + bb
-        h = h + r
+        r1 = [act(h) for h in hs]
+        r2 = [mm(r, wa, ba) for r in r1]
+        r3 = [act(r) for r in r2]
+        r4 = [mm(r, wb, bb) for r in r3]
+        hs = [h + r for h, r in zip(hs, r4)]
 
     if readout:
         wr, br = weights[idx][:], weights[idx + 1][:]
-        r = jax.nn.relu(h)
-        out = jnp.dot(r.astype(wr.dtype), wr, preferred_element_type=jnp.float32) + br
-        out_ref[:] = out.astype(out_ref.dtype)
+        return [mm(jax.nn.relu(h), wr, br) for h in hs]
+    return hs
+
+
+def _chain_kernel(n_blocks: int, readout: bool, activation: str,
+                  skip_input: bool, fast: bool, nsplit: int, x_ref, *refs):
+    """refs layout: [w0, b0 unless skip_input], [wA_i, bA_i, wB_i, bB_i] *
+    n_blocks, (readout_w, readout_b)?, out_ref (last). skip_input=True means
+    x already IS the hidden stream (layer_0 applied outside — e.g. the
+    corner-gather path folds its feature slice into the image and adds the
+    pos/dir head before the kernel).
+
+    fast=True keeps the hidden stream in the weight dtype (bf16): the chain is
+    VPU-bound, not MXU-bound — an f32 stream costs ~3.5 VPU passes/layer
+    (astype + bias + act + residual) vs the MXU's ~1 pass-equivalent, so the
+    dtype round-trips dominate. nsplit>1 runs that many independent sub-tile
+    chains interleaved in program order so Mosaic can overlap one chain's VPU
+    activation with another's MXU matmul (serving path; training keeps the f32
+    stream for grad parity)."""
+    out_ref = refs[-1]
+    weights = refs[:-1]
+    tile = x_ref.shape[0]
+    sub = tile // nsplit
+    rows = [pl.ds(k * sub, sub) for k in range(nsplit)]
+
+    if skip_input:
+        idx = 0
+        hs = [x_ref[rk, :] if fast else x_ref[rk, :].astype(jnp.float32)
+              for rk in rows]
     else:
-        out_ref[:] = h.astype(out_ref.dtype)
+        w0 = weights[0][:]
+        b0 = weights[1][:]
+        idx = 2
+
+        def mm0(r):
+            out = jnp.dot(r.astype(w0.dtype), w0,
+                          preferred_element_type=jnp.float32) + b0
+            return out.astype(w0.dtype) if fast else out
+
+        hs = [mm0(x_ref[rk, :]) for rk in rows]
+
+    outs = chain_math(hs, weights, idx, n_blocks, readout, activation, fast)
+    for rk, o in zip(rows, outs):
+        out_ref[rk, :] = o.astype(out_ref.dtype)
 
 
 def _flatten_params(mlp_params, n_blocks: int, prefix: str,
@@ -92,13 +132,16 @@ def _flatten_params(mlp_params, n_blocks: int, prefix: str,
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "readout",
                                              "activation", "tile",
-                                             "interpret", "skip_input"))
+                                             "interpret", "skip_input",
+                                             "fast", "nsplit"))
 def resmlp_rows(x, flat_weights: Tuple, n_blocks: int, readout: bool = False,
                 activation: str = "relu", tile: int = 512,
-                interpret: bool = False, skip_input: bool = False):
+                interpret: bool = False, skip_input: bool = False,
+                fast: bool = False, nsplit: int = 1):
     """Run the fused chain over rows. x: [N, D_in] -> [N, H] or [N, out].
     skip_input=True: x is already the hidden stream; flat_weights then holds
-    only the block (and optional readout) weights."""
+    only the block (and optional readout) weights. fast/nsplit: see
+    _chain_kernel (bf16 stream + interleaved sub-tile chains; serving only)."""
     n, d_in = x.shape
     out_dim = (flat_weights[-2].shape[1] if readout
                else (d_in if skip_input else flat_weights[0].shape[1]))
@@ -121,7 +164,7 @@ def resmlp_rows(x, flat_weights: Tuple, n_blocks: int, readout: bool = False,
                 wgt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_chain_kernel, n_blocks, readout, activation,
-                               skip_input)
+                               skip_input, fast, nsplit)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -1,0 +1,335 @@
+"""Sorted-window gather fused with the residual-MLP chain (one Pallas kernel).
+
+The serving bottleneck is the scattered bilinear feature gather: XLA's TPU row
+gather costs ~12 ns/row regardless of layout (tools/bench_gather4.py), which
+at 786k rows/chunk (4096 rays x 192 samples, reference workload
+src/lib/mvnerf/model_v0.py:102-184) is ~10 ms — more than the MLP compute it
+feeds. This kernel restructures the gather around three measured facts:
+
+  * XLA's TPU sort is cheap (~1.5 ms for 786k keys + 16 B payload);
+  * a windowed one-hot matmul gather rides the MXU at >200 TF/s — and the
+    one-hot weights can BE the bilinear lerp weights (a triangle kernel
+    `relu(1 - |ids - (x0 + ax)|)` places exactly (1-ax, ax) on the two
+    x-corners);
+  * Pallas BlockSpec index_maps driven by scalar prefetch give each grid step
+    a dynamically-offset contiguous window of the image at 128-row
+    granularity.
+
+Pipeline: sort queries by corner pixel index (payload: position/direction/
+lerp fractions) -> per 512-query block, DMA two [KA*128, 128] row-windows
+(the y0 and y0+1 image rows live exactly W'/128 groups apart) -> build the
+two weighted one-hots -> two [512, KA*128]@[KA*128, 128] MXU matmuls gather
+AND lerp -> add the positional/direction head -> run the full residual chain
++ readout in VMEM -> write [512, 4]; un-permute the 4-wide outputs with a
+second cheap sort.
+
+The image must be pre-projected to the MLP hidden width
+(MVResNetMLPEmbedding.project_image / SliceableDense.project_tail) and padded
+so its width is a multiple of 128. Overflow (a block whose sorted keys span
+more than the window) is detected OUTSIDE the kernel from the per-block spans
+so the caller can lax.cond to the exact XLA fallback (models/fused.py).
+
+1-view serving path (the flagship bench configuration); the general
+multi-view/training path stays on models/renderer.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .resmlp import chain_math
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _swg_kernel(n_blocks: int, readout: bool, activation: str, ka: int,
+                fast: bool, nsplit: int,
+                s_ref, keys_ref, frac_ref, g_ref, *refs):
+    """refs: [imgA_0..imgA_{ka-1}, imgB_0..imgB_{ka-1}, chain weights..., out].
+
+    Per block: window A holds image rows (groups s..s+ka) covering the y0
+    corners, window B the same shifted by W'/128 groups (the y0+1 corners).
+    The triangle one-hot gathers + lerps both x-corners per window in one
+    matmul; ay lerps across the two windows.
+    """
+    out_ref = refs[-1]
+    imgA = refs[:ka]
+    imgB = refs[ka:2 * ka]
+    weights = refs[2 * ka:-1]
+
+    i = pl.program_id(0)
+    bq = keys_ref.shape[0]
+    win = ka * LANE
+
+    base = s_ref[i] * LANE
+    l_i = keys_ref[:, 0:1] - base                       # [BQ, 1] int32
+    ax = frac_ref[:, 0:1]                               # [BQ, 1] f32
+    ay = frac_ref[:, 1:2]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (bq, win), 1).astype(jnp.float32)
+    center = l_i.astype(jnp.float32) + ax
+    tri = jnp.maximum(0.0, 1.0 - jnp.abs(ids - center))  # (1-ax)@l, ax@l+1
+    ohA = (tri * (1.0 - ay)).astype(imgA[0].dtype)      # [BQ, win] bf16
+    ohB = (tri * ay).astype(imgA[0].dtype)
+
+    winA = jnp.concatenate([r[0] for r in imgA], axis=0)  # [win, 128]
+    winB = jnp.concatenate([r[0] for r in imgB], axis=0)
+    h0 = (jnp.dot(ohA, winA, preferred_element_type=jnp.float32)
+          + jnp.dot(ohB, winB, preferred_element_type=jnp.float32)
+          + g_ref[:].astype(jnp.float32))
+
+    sub = bq // nsplit
+    # slice h0 into sub-tiles (h0 is a value, not a ref -> static lax slices)
+    hs = [jax.lax.slice_in_dim(h0, k * sub, (k + 1) * sub, axis=0)
+          for k in range(nsplit)]
+    hs = [h.astype(weights[0].dtype) if fast else h for h in hs]
+
+    outs = chain_math(hs, weights, 0, n_blocks, readout, activation, fast)
+    for k, o in enumerate(outs):
+        out_ref[pl.ds(k * sub, sub), :] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_groups", "n_blocks", "readout", "activation", "ka", "bq", "fast",
+    "nsplit", "interpret"))
+def swg_gather_mlp(s_blocks, keys_sorted, frac_sorted, h0_geo_sorted,
+                   img_grouped, flat_weights: Tuple, w_groups: int,
+                   n_blocks: int, readout: bool = True,
+                   activation: str = "relu", ka: int = 4, bq: int = 512,
+                   fast: bool = True, nsplit: int = 1,
+                   interpret: bool = False):
+    """The fused kernel over pre-sorted queries.
+
+    s_blocks: [NB] int32 window base (in 128-row groups) per block;
+    keys_sorted: [N, 1] int32 corner row index (y0 * W' + x0, sorted);
+    frac_sorted: [N, 2] f32 (ax, ay); h0_geo_sorted: [N, hidden] — the
+    pos/dir head output (SliceableDense.apply_head) in sorted order;
+    img_grouped: [G, 128, hidden] — the pre-projected image in 128-row
+    groups, zero-padded by >= w_groups + ka groups; w_groups = W'/128.
+    flat_weights: block (+ readout) weights as in resmlp_rows(skip_input).
+    Returns [N, out_dim] in sorted order.
+    """
+    n = keys_sorted.shape[0]
+    assert n % bq == 0, (n, bq)
+    nb = n // bq
+    hidden = h0_geo_sorted.shape[1]
+    out_dim = flat_weights[-2].shape[1] if readout else hidden
+
+    in_specs = [
+        pl.BlockSpec((bq, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bq, 2), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bq, hidden), lambda i, s: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for k in range(ka):                                   # A windows (y0)
+        in_specs.append(pl.BlockSpec(
+            (1, LANE, hidden), lambda i, s, k=k: (s[i] + k, 0, 0),
+            memory_space=pltpu.VMEM))
+    for k in range(ka):                                   # B windows (y0+1)
+        in_specs.append(pl.BlockSpec(
+            (1, LANE, hidden),
+            lambda i, s, k=k: (s[i] + w_groups + k, 0, 0),
+            memory_space=pltpu.VMEM))
+    for wgt in flat_weights:
+        if wgt.ndim == 1:
+            in_specs.append(pl.BlockSpec((wgt.shape[0],), lambda i, s: (0,),
+                                         memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(wgt.shape, lambda i, s: (0, 0),
+                                         memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_swg_kernel, n_blocks, readout, activation,
+                               ka, fast, nsplit)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bq, out_dim), lambda i, s: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, out_dim), jnp.float32),
+        interpret=interpret,
+    )(s_blocks, keys_sorted, frac_sorted, h0_geo_sorted,
+      *([img_grouped] * (2 * ka)), *flat_weights)
+
+
+def _permuted_head(head_kernel, dim: int, n_freq: int,
+                   embed_direction_vector: bool):
+    """Reorder head-kernel rows from the reference (d, n, [sin, cos])
+    interleave to the fast-encoding concat order ([sin octaves..., cos
+    octaves...] per input, d minor)."""
+    def block(offset):
+        idx = []
+        for f in range(2):
+            for nq in range(n_freq):
+                for dd in range(dim):
+                    idx.append(offset + dd * 2 * n_freq + nq * 2 + f)
+        return idx
+
+    perm = block(0)
+    if embed_direction_vector:
+        perm += block(dim * 2 * n_freq)
+    else:
+        base = dim * 2 * n_freq
+        perm += list(range(base, base + dim))
+    return head_kernel[np.asarray(perm)]
+
+
+def prepare_image(img_p: jnp.ndarray, ka: int = 4):
+    """[H, W, hidden] pre-projected image -> (img_grouped, w_padded, w_groups).
+
+    Pads width to a multiple of 128 and appends w_groups + ka zero row-groups
+    so every dynamic window is in bounds.
+    """
+    h, w, c = img_p.shape
+    w_pad = _round_up(w, LANE)
+    if w_pad != w:
+        img_p = jnp.pad(img_p, ((0, 0), (0, w_pad - w), (0, 0)))
+    w_groups = w_pad // LANE
+    flat = img_p.reshape(h * w_pad, c)
+    n_groups = h * w_pad // LANE
+    grouped = flat.reshape(n_groups, LANE, c)
+    pad_groups = w_groups + ka
+    grouped = jnp.concatenate(
+        [grouped, jnp.zeros((pad_groups, LANE, c), grouped.dtype)], axis=0)
+    return grouped, w_pad, w_groups
+
+
+def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
+             coords_xy, positions, directions, head_kernel, head_bias,
+             flat_weights: Tuple, n_blocks: int, n_freq: int = 10,
+             pos_encoding_freq: float = float(np.pi),
+             embed_direction_vector: bool = True, ka: int = 4, bq: int = 512,
+             fast: bool = True, nsplit: int = 1, fast_encoding: bool = True,
+             interpret: bool = False):
+    """Full sorted-window pipeline over flat queries (1 view, 1 batch).
+
+    coords_xy: [N, 2] continuous pixel coords (x, y) into the REAL image
+    (clamp semantics identical to ops.interpolate.bilinear_gather);
+    positions/directions: [N, 3]; head_kernel/bias: SliceableDense head
+    (rows [:pd] of layer_0 + bias). Returns (out [N, out_dim] in original
+    order, overflowed: bool scalar — when True the caller must use the
+    fallback path; this function's outputs are then garbage for the
+    overflowed blocks only).
+    """
+    from ...core.encoding import (positional_encoding,
+                                  positional_encoding_fast)
+
+    n = coords_xy.shape[0]
+    x = jnp.clip(coords_xy[:, 0], 0.0, w_real - 1.0)
+    y = jnp.clip(coords_xy[:, 1], 0.0, h_real - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0.0, w_real - 2.0)
+    y0 = jnp.clip(jnp.floor(y), 0.0, h_real - 2.0)
+    ax = x - x0
+    ay = y - y0
+    keys = (y0.astype(jnp.int32) * w_pad + x0.astype(jnp.int32))
+
+    n_pad = _round_up(n, bq)
+    if n_pad != n:
+        pad = n_pad - n
+        big = (h_real - 2) * w_pad + (w_real - 2)
+        keys = jnp.concatenate([keys, jnp.full((pad,), big, keys.dtype)])
+        z3 = jnp.zeros((pad, 3), positions.dtype)
+        positions = jnp.concatenate([positions, z3])
+        directions = jnp.concatenate([directions, z3])
+        zf = jnp.zeros((pad,), ax.dtype)
+        ax = jnp.concatenate([ax, zf])
+        ay = jnp.concatenate([ay, zf])
+
+    orig = jnp.arange(n_pad, dtype=jnp.int32)
+    (keys_s, orig_s, ax_s, ay_s, px, py, pz, dx, dy, dz) = jax.lax.sort(
+        (keys, orig, ax, ay,
+         positions[:, 0], positions[:, 1], positions[:, 2],
+         directions[:, 0], directions[:, 1], directions[:, 2]), num_keys=1)
+
+    s_blocks = keys_s[::bq] // LANE
+    # per-block span check: the largest local index (+1 for the x+1 corner)
+    # must stay inside the ka*128 window
+    span = keys_s[bq - 1::bq] - s_blocks * LANE
+    overflowed = jnp.any(span > ka * LANE - 2)
+
+    pos_s = jnp.stack([px, py, pz], axis=-1)
+    dir_s = jnp.stack([dx, dy, dz], axis=-1)
+    dt = img_grouped.dtype
+
+    def encode(p, d):
+        if not fast_encoding:
+            enc = positional_encoding(p, n_freq, pos_encoding_freq)
+            enc_d = (positional_encoding(d, n_freq, pos_encoding_freq)
+                     if embed_direction_vector else d)
+            enc = jnp.concatenate([enc, enc_d], axis=-1)
+            return (enc.astype(dt) @ head_kernel.astype(dt)
+                    + head_bias.astype(dt)).astype(dt)
+        # Fast path: (a) double-angle recurrences give every octave from one
+        # base sin/cos pair; (b) the octave features are concatenated in
+        # whatever order is cheapest (no interleave copies) and the HEAD
+        # KERNEL's rows are permuted to match — enc @ W is invariant under a
+        # shared row permutation. The transcendentals + interleave were the
+        # single largest serving cost (tools/bench_swg.py SWG_BREAKDOWN=1).
+        def octaves(x):
+            xb = x * jnp.asarray(pos_encoding_freq, x.dtype)
+            s = jnp.sin(xb)
+            c = jnp.cos(xb)
+            sins, coss = [s], [c]
+            for _ in range(n_freq - 1):
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+                sins.append(s)
+                coss.append(c)
+            return sins + coss                     # [f, n] major, d minor
+
+        dim = p.shape[-1]
+        parts = octaves(p)
+        parts += octaves(d) if embed_direction_vector else [d]
+        enc = jnp.concatenate([q.astype(dt) for q in parts], axis=-1)
+        head = _permuted_head(head_kernel, dim, n_freq,
+                              embed_direction_vector).astype(dt)
+        return (enc @ head + head_bias.astype(dt)).astype(dt)
+
+    def kernel_branch(_):
+        h0_geo = encode(pos_s, dir_s)
+        out_s = swg_gather_mlp(
+            s_blocks, keys_s[:, None], jnp.stack([ax_s, ay_s], axis=-1),
+            h0_geo, img_grouped, flat_weights, w_groups, n_blocks,
+            readout=True, ka=ka, bq=bq, fast=fast, nsplit=nsplit,
+            interpret=interpret)
+        # un-permute the narrow outputs with a second sort (cheaper than a
+        # scattered row gather at this row count — tools/bench_gather4.py)
+        cols = [out_s[:, j] for j in range(out_s.shape[1])]
+        unsorted = jax.lax.sort((orig_s, *cols), num_keys=1)
+        return jnp.stack(unsorted[1:], axis=-1)
+
+    def fallback_branch(_):
+        # exact same math through the plain XLA 4-tap gather + fused chain
+        # (original query order; taken only when a window overflows)
+        from .resmlp import resmlp_rows
+        from ...ops.interpolate import bilinear_gather
+
+        n_groups = img_grouped.shape[0] - (w_groups + ka)
+        img = img_grouped[:n_groups].reshape(
+            n_groups * LANE // w_pad, w_pad, img_grouped.shape[-1])
+        feats = bilinear_gather(
+            img[None], jnp.stack([jnp.concatenate([x, jnp.zeros(
+                (n_pad - n,), x.dtype)]) if n_pad != n else x,
+                jnp.concatenate([y, jnp.zeros((n_pad - n,), y.dtype)])
+                if n_pad != n else y], axis=-1)[None])[0]
+        h0 = (encode(positions, directions) + feats.astype(dt)).astype(dt)
+        out = resmlp_rows(h0, flat_weights, n_blocks, readout=True,
+                          tile=1024, skip_input=True, fast=fast,
+                          interpret=interpret)
+        return out.astype(jnp.float32)
+
+    out = jax.lax.cond(overflowed, fallback_branch, kernel_branch,
+                       operand=None)
+    return out[:n], overflowed

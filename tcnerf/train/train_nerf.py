@@ -13,6 +13,7 @@ The fusion variant comes from cfg.nerf_training.fusion ('v0'..'v4' or
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
@@ -90,13 +91,22 @@ def train_model(model, state, data_generator, cfg, valid_data, rng):
         run_validation(model, {"params": state.params}, valid_data,
                        os.path.join(nt.model_path, "valid", "valid-0.png"), rng)
 
+    # TCNERF_TRACE=<logdir> captures a jax.profiler trace of the first fit
+    # round (utils/profiling.py; viewable in TensorBoard/Perfetto)
+    trace_dir = os.environ.get("TCNERF_TRACE")
+
     for k in range(start_n_fit, n_fits):
         e_epoch = (k + 1) * nt.eval_after_epochs
+        from ..utils.profiling import trace
+        ctx = (trace(trace_dir) if trace_dir and k == start_n_fit
+               else contextlib.nullcontext())
         # double-buffered feed: batch synthesis + device_put overlap the step
-        for inputs, labels in prefetched_epochs(data_generator,
-                                                nt.eval_after_epochs):
-            rng, step_key = jax.random.split(rng)
-            state, metrics = T.nerf_train_step(state, inputs, labels, step_key)
+        with ctx:
+            for inputs, labels in prefetched_epochs(data_generator,
+                                                    nt.eval_after_epochs):
+                rng, step_key = jax.random.split(rng)
+                state, metrics = T.nerf_train_step(state, inputs, labels,
+                                                   step_key)
         logger.info(f"epoch {e_epoch}: loss {float(metrics['loss']):.5f}")
 
         run_validation(model, {"params": state.params}, valid_data,

@@ -324,63 +324,6 @@ class TestFusedField:
                                    rtol=2e-4, atol=2e-4)
 
 
-class TestBinnedGather:
-    def test_halo_patches_cover_stencils(self, rng):
-        from tcnerf.ops.binned_gather import build_halo_patches
-
-        img = jnp.asarray(rng.normal(size=(16, 24, 5)).astype(np.float32))
-        patches = build_halo_patches(img, tile=(8, 8))
-        assert patches.shape == (2 * 3, 9 * 9, 5)
-        # tile (0,0): pixel (3, 5) -> local (3, 5)
-        np.testing.assert_array_equal(np.asarray(patches)[0, 3 * 9 + 5],
-                                      np.asarray(img)[3, 5])
-        # halo of tile (0,0) includes row 8 / col 8
-        np.testing.assert_array_equal(np.asarray(patches)[0, 8 * 9 + 8],
-                                      np.asarray(img)[8, 8])
-
-    def test_parity_with_plain_gather(self, rng):
-        from tcnerf.ops.binned_gather import binned_bilinear_gather
-        from tcnerf.ops.interpolate import bilinear_gather
-
-        h, w, c = 32, 40, 7
-        img = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
-        coords = jnp.asarray(
-            rng.uniform(-3, max(h, w) + 3, size=(500, 2)).astype(np.float32))
-        got = binned_bilinear_gather(img, coords, tile=(8, 8),
-                                     capacity_factor=8.0, strict=True)
-        want = bilinear_gather(img[None], coords[None])[0]
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-5)
-
-    def test_strict_handles_concentration(self, rng):
-        """All samples in one tile: capacity overflows, strict stays exact."""
-        from tcnerf.ops.binned_gather import binned_bilinear_gather
-        from tcnerf.ops.interpolate import bilinear_gather
-
-        img = jnp.asarray(rng.normal(size=(16, 16, 4)).astype(np.float32))
-        coords = jnp.asarray(
-            rng.uniform(1.0, 6.0, size=(300, 2)).astype(np.float32))
-        got = binned_bilinear_gather(img, coords, tile=(8, 8),
-                                     capacity_factor=0.5, strict=True)
-        want = bilinear_gather(img[None], coords[None])[0]
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-5)
-
-    def test_nonstrict_covers_most_when_capacity_ample(self, rng):
-        from tcnerf.ops.binned_gather import binned_bilinear_gather
-        from tcnerf.ops.interpolate import bilinear_gather
-
-        h, w, c = 32, 32, 3
-        img = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
-        coords = jnp.asarray(
-            rng.uniform(0, 31, size=(400, 2)).astype(np.float32))
-        got = binned_bilinear_gather(img, coords, tile=(8, 8),
-                                     capacity_factor=8.0, strict=False)
-        want = np.asarray(bilinear_gather(img[None], coords[None])[0])
-        match = np.isclose(np.asarray(got), want, rtol=1e-5, atol=1e-5).all(axis=-1)
-        assert match.mean() > 0.95
-
-
 class TestSortMerge:
     def test_sort_small_matches_jnp_sort(self, rng):
         from tcnerf.ops.sortmerge import sort_small
@@ -520,3 +463,128 @@ class TestResMLPCustomVJP:
         for a, b in zip(flat_g, flat_r):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=5e-4)
+
+
+class TestSortedWindowGather:
+    """ops/pallas/swg.py: the sorted-window fused gather+MLP kernel."""
+
+    def _setup(self, rng, h=16, w=250, n_blocks=2):
+        hidden = 128
+        img = jnp.asarray(rng.normal(size=(h, w, hidden)).astype(np.float32))
+        head_k = jnp.asarray(
+            rng.normal(size=(120, hidden)).astype(np.float32) * 0.05)
+        head_b = jnp.asarray(rng.normal(size=(hidden,)).astype(np.float32))
+        flat = []
+        for _ in range(n_blocks):
+            flat += [jnp.asarray(rng.normal(size=(hidden, hidden))
+                                 .astype(np.float32) * 0.05),
+                     jnp.zeros(hidden)] * 2
+        flat += [jnp.asarray(rng.normal(size=(hidden, 4))
+                             .astype(np.float32) * 0.05), jnp.zeros(4)]
+        return img, head_k, head_b, tuple(flat)
+
+    def _reference(self, img, head_k, head_b, flat, n_blocks, coords, pos,
+                   dirs):
+        from tcnerf.core.encoding import positional_encoding
+        from tcnerf.ops.interpolate import bilinear_gather
+        from tcnerf.ops.pallas.resmlp import resmlp_reference
+
+        feats = bilinear_gather(img[None], coords[None])[0]
+        enc = jnp.concatenate([positional_encoding(pos, 10),
+                               positional_encoding(dirs, 10)], -1)
+        h0 = enc @ head_k + head_b + feats
+        return resmlp_reference(h0, flat, n_blocks, readout=True,
+                                skip_input=True)
+
+    @pytest.mark.parametrize("n,label", [(8192, "dense-kernel"),
+                                         (1024, "sparse-fallback"),
+                                         (1000, "nonmultiple-n")])
+    def test_swg_rows_parity(self, rng, n, label):
+        """Kernel path (dense), overflow fallback (sparse) and padding
+        (non-multiple N) must all match the plain XLA 4-tap gather + chain."""
+        from tcnerf.ops.pallas.swg import prepare_image, swg_rows
+
+        h, w, n_blocks = 16, 250, 2
+        img, head_k, head_b, flat = self._setup(rng, h, w, n_blocks)
+        coords = jnp.asarray(np.stack([rng.uniform(0, w - 1, n),
+                                       rng.uniform(0, h - 1, n)], -1)
+                             .astype(np.float32))
+        pos = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        dirs = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+        grouped, w_pad, w_groups = prepare_image(img, ka=4)
+        out, ov = swg_rows(grouped, w_pad, w_groups, w, h, coords, pos, dirs,
+                           head_k, head_b, flat, n_blocks, ka=4, bq=512,
+                           fast=False, interpret=True)
+        if label == "dense-kernel":
+            assert not bool(ov), "dense queries must not overflow the window"
+        ref = self._reference(img, head_k, head_b, flat, n_blocks, coords,
+                              pos, dirs)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3 * scale, rtol=1e-3)
+
+    def test_swg_field_matches_flax_field(self, rng):
+        """swg_field through the renderer-layout params must match the flax
+        _field math (1-view)."""
+        import flax.linen as nn
+        from tcnerf.core import projection
+        from tcnerf.models.fused import swg_field
+        from tcnerf.nn.blocks import RenderReadout
+        from tcnerf.nn.mlp import MVResNetMLPEmbedding
+        from tcnerf.ops.interpolate import gather_projection_features
+        from tcnerf.ops.pallas.swg import prepare_image
+
+        n_blocks, hidden = 2, 128
+        b, r, s = 1, 3, 4
+        n_feats = 8
+        world = jnp.asarray(
+            rng.uniform(0.3, 0.7, (b, r, s, 3)).astype(np.float32))
+        z = jnp.asarray(
+            np.sort(rng.uniform(0.3, 1.3, (b, r, s)).astype(np.float32)))
+        imgs = jnp.asarray(
+            rng.uniform(-1, 1, (b, 1, 16, 20, 3)).astype(np.float32))
+        feats_img = jnp.asarray(
+            rng.normal(size=(b, 1, 16, 20, n_feats)).astype(np.float32))
+        k4 = np.eye(4, dtype=np.float32)
+        k4[:3, :3] = [[20, 0, 10], [0, 20, 8], [0, 0, 1]]
+        intr = jnp.asarray(k4)[None, None]
+        ext = jnp.eye(4)[None, None]
+        cam_dirs = jnp.asarray(rng.normal(size=(b, 1, r, 3)).astype(np.float32))
+
+        class Field(nn.Module):
+            @nn.compact
+            def __call__(self, world, cam_dirs):
+                pixel_xy, cam_points = projection.project_points_mv(
+                    world, intr, ext)
+                feats = gather_projection_features(imgs, feats_img, pixel_xy)
+                dirs = jnp.broadcast_to(cam_dirs[:, :, :, None, :],
+                                        (b, 1, r, s, 3))
+                flat = lambda x: x.reshape((b, r, s, x.shape[-1]))
+                emb = MVResNetMLPEmbedding(
+                    n_blocks=n_blocks, hidden_size=hidden, n_views=1,
+                    embed_direction_vector=True, name="mlp")(
+                        flat(cam_points[..., :3]), flat(dirs), flat(feats))
+                return RenderReadout(4, name="ro")(emb)
+
+        field = Field()
+        params = field.init(jax.random.PRNGKey(0), world, cam_dirs)["params"]
+        want_c, want_d = field.apply({"params": params}, world, cam_dirs)
+
+        from tcnerf.models.fused import flatten_mv_params
+        pd = 120
+        k0 = params["mlp"]["layer_0"]["kernel"]
+        b0 = params["mlp"]["layer_0"]["bias"]
+        flat_w = tuple(flatten_mv_params(params["mlp"], n_blocks,
+                                         params["ro"])[2:])
+        combined = jnp.concatenate([imgs, feats_img], axis=-1)[0, 0]
+        img_p = combined @ k0[pd:]
+        grouped, w_pad, w_groups = prepare_image(img_p, ka=4)
+        got_c, got_d = swg_field((k0[:pd], b0, flat_w), world, z, cam_dirs,
+                                 grouped, w_pad, w_groups, (16, 20), intr,
+                                 ext, n_blocks, ka=4, bq=64, fast=False,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                                   rtol=2e-3, atol=2e-3)

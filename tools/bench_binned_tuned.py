@@ -22,7 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def main():
     from tcnerf.models.renderer import MVNeRFRenderer
-    from tcnerf.models.fused import binned_render_rays
+    from tools.binned_gather_experiment import binned_render_rays
     from tcnerf.data.synthetic import camera_ring
 
     h, w = 480, 640

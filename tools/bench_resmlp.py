@@ -61,22 +61,23 @@ def main():
 
     out["xla_chain_ms"] = round(timeit_scan(f_ref, x) * 1e3, 2)
 
-    for tile in (512, 1024, 2048):
+    for tile, fast, nsplit in ((1024, False, 1), (1024, True, 1),
+                               (1024, True, 2), (2048, True, 2),
+                               (2048, True, 4), (4096, True, 4)):
         @jax.jit
-        def f_pallas(x, tile=tile):
+        def f_pallas(x, tile=tile, fast=fast, nsplit=nsplit):
             def step(c, _):
                 o = resmlp_rows(x + c.astype(dt), flat, n_blocks, readout=True,
-                                tile=tile)
+                                tile=tile, fast=fast, nsplit=nsplit)
                 return c + o.astype(jnp.float32).sum() * 0, None
             acc, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(N_ITERS))
             return acc
 
+        tag = f"pallas_t{tile}_f{int(fast)}_s{nsplit}_ms"
         try:
-            out[f"pallas_tile{tile}_ms"] = round(
-                timeit_scan(f_pallas, x) * 1e3, 2)
+            out[tag] = round(timeit_scan(f_pallas, x) * 1e3, 2)
         except Exception as e:  # noqa: BLE001 — report and continue
-            out[f"pallas_tile{tile}_ms"] = f"FAILED: {type(e).__name__}"
-            break
+            out[tag] = f"FAILED: {type(e).__name__}"
     print(json.dumps(out))
 
 

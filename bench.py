@@ -77,16 +77,21 @@ def main():
     path = os.environ.get("TCNERF_BENCH_PATH", "swg")
 
     if path == "swg":
-        # sorted-window fused gather+MLP kernel (ops/pallas/swg.py)
-        from tcnerf.models.fused import swg_render_rays
+        # sorted-window fused gather+MLP kernel (ops/pallas/swg.py):
+        # chunk-invariant prep (pre-projection, transposes, permuted heads)
+        # runs ONCE outside the scan
+        from tcnerf.models.fused import swg_prepare, swg_render_chunk
 
         @jax.jit
         def render_many(params, ray_o, ray_d, keys):
+            prepared = swg_prepare(params, src_images_b, features,
+                                   n_blocks=6, ka=4)
+
             def chunk(carry, key):
-                out = swg_render_rays(
-                    params, ray_o, ray_d, src_images_b, inputs[3], inputs[4],
-                    features, key, n_samples=64, near=0.3, far=1.3,
-                    n_blocks=6, ka=4, bq=512)
+                out = swg_render_chunk(
+                    prepared, ray_o, ray_d, inputs[3], inputs[4], key,
+                    n_samples=64, near=0.3, far=1.3, n_blocks=6, ka=4,
+                    bq=512)
                 return carry + jnp.sum(out[2].astype(jnp.float32)), None
 
             acc, _ = jax.lax.scan(chunk, jnp.zeros(()), keys)

@@ -115,13 +115,16 @@ def swg_field(stage_params, world_points, z, cam_dirs, img_grouped,
               w_pad: int, w_groups: int, image_hw, src_intrinsics,
               src_extrinsics_inv, n_blocks: int, n_freq: int = 10,
               ka: int = 6, bq: int = 512, fast: bool = True,
-              nsplit: int = 1, interpret: bool = False):
+              nsplit: int = 1, interpret: bool = False, stage_prep=None):
     """Field evaluation via the sorted-window fused gather+MLP kernel
     (ops/pallas/swg.py; 1-view serving). stage_params = (head_k, head_b,
-    flat_block_and_readout_weights)."""
+    flat_block_and_readout_weights); stage_prep optionally carries the
+    precomputed transposed artifacts (img_grouped_t, head_pad_t, flat_t)
+    from swg_prepare so chunk loops do not rebuild them."""
     from ..ops.pallas.swg import swg_rows
 
     head_k, head_b, flat = stage_params
+    img_t, head_pt, flat_t = stage_prep or (None, None, None)
     b, r, s, _ = world_points.shape
     h, w = image_hw
     pixel_xy, cam_points = projection.project_points_mv(
@@ -132,7 +135,9 @@ def swg_field(stage_params, world_points, z, cam_dirs, img_grouped,
                             (b, 1, r, s, 3)).reshape(-1, 3)
     out, _ = swg_rows(img_grouped, w_pad, w_groups, w, h, coords, pos, dirs,
                       head_k, head_b, flat, n_blocks, n_freq=n_freq, ka=ka,
-                      bq=bq, fast=fast, nsplit=nsplit, interpret=interpret)
+                      bq=bq, fast=fast, nsplit=nsplit,
+                      img_grouped_t=img_t, head_pad_t=head_pt, flat_t=flat_t,
+                      interpret=interpret)
     out = out.astype(jnp.float32).reshape(b, r, s, 4)
     chroma = jax.nn.sigmoid(out[..., :3])
     density = jax.nn.softplus(out[..., 3])
@@ -153,21 +158,18 @@ def swg_stage_params(params, stage: str, n_blocks: int, dtype):
     return k, b0, flat
 
 
-def swg_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
-                    src_extrinsics_inv, combined_features, key,
-                    n_samples: int = 64, near: float = 0.3, far: float = 1.3,
-                    n_blocks: int = 6, pd: int = 120, ka: int = 6,
-                    bq: int = 512, nsplit: int = 1, fast: bool = True,
-                    interpret: bool = False):
-    """Hierarchical render with the sorted-window fused kernel (1-view
-    serving; parity with MVNeRFRenderer.render_rays semantics)."""
-    from ..ops.pallas.swg import prepare_image
+def swg_prepare(params, src_images, combined_features, n_blocks: int = 6,
+                pd: int = 120, ka: int = 6, fast: bool = True):
+    """Precompute every chunk-invariant artifact for the swg render path.
 
-    key_c, key_f = jax.random.split(key)
+    Returns an opaque tuple consumed by swg_render_chunk. Doing this ONCE
+    outside the chunk scan matters: the pre-projected/transposed images and
+    permuted weights live inside a lax.cond branch in the chunk body, where
+    XLA's loop-invariant hoisting cannot reach them."""
+    from ..ops.pallas.swg import (head_pad_transposed, prepare_image,
+                                  transpose_chain_weights)
+
     dtype = combined_features.dtype
-    b, v = src_images.shape[:2]
-    assert b == 1 and v == 1, "swg path is the 1-view serving configuration"
-
     head_ck, head_cb, flat_c = swg_stage_params(params, "coarse", n_blocks,
                                                 dtype)
     head_fk, head_fb, flat_f = swg_stage_params(params, "fine", n_blocks,
@@ -180,29 +182,77 @@ def swg_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
     img_f = combined @ head_fk[pd:].astype(dtype)   # pre-project: fine
     grouped_c, w_pad, w_groups = prepare_image(img_c, ka=ka)
     grouped_f, _, _ = prepare_image(img_f, ka=ka)
-    stage_c = (head_ck[:pd], head_cb, flat_c)
-    stage_f = (head_fk[:pd], head_fb, flat_f)
+
+    def prep(head_k, flat):
+        if not fast:
+            return None
+        return (None, head_pad_transposed(head_k[:pd], 3, 10).astype(dtype),
+                transpose_chain_weights(flat))
+
+    prep_c = prep(head_ck, flat_c)
+    prep_f = prep(head_fk, flat_f)
+    if fast:
+        prep_c = (jnp.transpose(grouped_c, (0, 2, 1)),) + prep_c[1:]
+        prep_f = (jnp.transpose(grouped_f, (0, 2, 1)),) + prep_f[1:]
+    stage_c = ((head_ck[:pd], head_cb, flat_c), grouped_c, prep_c)
+    stage_f = ((head_fk[:pd], head_fb, flat_f), grouped_f, prep_f)
+    return (stage_c, stage_f, (h, w), w_pad, w_groups)
+
+
+def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
+                     src_extrinsics_inv, key, n_samples: int = 64,
+                     near: float = 0.3, far: float = 1.3, n_blocks: int = 6,
+                     ka: int = 6, bq: int = 512, nsplit: int = 1,
+                     fast: bool = True, interpret: bool = False):
+    """One hierarchical render chunk against swg_prepare artifacts."""
+    stage_c, stage_f, (h, w), w_pad, w_groups = prepared
+    key_c, key_f = jax.random.split(key)
 
     world_points, z = sampling.sample_along_ray(key_c, ray_o, ray_d, near,
                                                 far, n_samples)
     cam_dirs = projection.world_to_camera_directions_mv(ray_d,
                                                         src_extrinsics_inv)
-    chroma, density = swg_field(stage_c, world_points, z, cam_dirs, grouped_c,
-                                w_pad, w_groups, (h, w), src_intrinsics,
-                                src_extrinsics_inv, n_blocks, ka=ka, bq=bq,
-                                fast=fast, nsplit=nsplit, interpret=interpret)
+    params_c, grouped_c, prep_c = stage_c
+    chroma, density = swg_field(params_c, world_points, z, cam_dirs,
+                                grouped_c, w_pad, w_groups, (h, w),
+                                src_intrinsics, src_extrinsics_inv, n_blocks,
+                                ka=ka, bq=bq, fast=fast, nsplit=nsplit,
+                                interpret=interpret, stage_prep=prep_c)
     rgb, depth, weights = render.volumetric_render(z, density, chroma)
 
     z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
     z_fine = sampling.sample_pdf(key_f, z_mid, weights[..., 1:-1], n_samples)
-    from ..ops.sortmerge import merge_sorted, sort_small
-    all_z = merge_sorted(z, sort_small(z_fine))
+    # one variadic sort of the concatenated z's beats sort_small+merge_sorted
+    # at this shape (docs/perf_notes.md fine-z microprobes)
+    all_z = jnp.sort(jnp.concatenate([z, z_fine], axis=-1), axis=-1)
     fine_points = (ray_o[:, :, None, :]
                    + all_z[..., None] * ray_d[:, :, None, :])
+    params_f, grouped_f, prep_f = stage_f
     fine_chroma, fine_density = swg_field(
-        stage_f, fine_points, all_z, cam_dirs, grouped_f, w_pad, w_groups,
+        params_f, fine_points, all_z, cam_dirs, grouped_f, w_pad, w_groups,
         (h, w), src_intrinsics, src_extrinsics_inv, n_blocks, ka=ka, bq=bq,
-        fast=fast, nsplit=nsplit, interpret=interpret)
+        fast=fast, nsplit=nsplit, interpret=interpret, stage_prep=prep_f)
     fine_rgb, fine_depth, _ = render.volumetric_render(all_z, fine_density,
                                                        fine_chroma)
     return rgb, depth, fine_rgb, fine_depth
+
+
+def swg_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
+                    src_extrinsics_inv, combined_features, key,
+                    n_samples: int = 64, near: float = 0.3, far: float = 1.3,
+                    n_blocks: int = 6, pd: int = 120, ka: int = 6,
+                    bq: int = 512, nsplit: int = 1, fast: bool = True,
+                    interpret: bool = False):
+    """Hierarchical render with the sorted-window fused kernel (1-view
+    serving; parity with MVNeRFRenderer.render_rays semantics). Single-shot
+    convenience wrapper; chunk loops should call swg_prepare once and
+    swg_render_chunk per chunk."""
+    b, v = src_images.shape[:2]
+    assert b == 1 and v == 1, "swg path is the 1-view serving configuration"
+    prepared = swg_prepare(params, src_images, combined_features,
+                           n_blocks=n_blocks, pd=pd, ka=ka, fast=fast)
+    return swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
+                            src_extrinsics_inv, key, n_samples=n_samples,
+                            near=near, far=far, n_blocks=n_blocks, ka=ka,
+                            bq=bq, nsplit=nsplit, fast=fast,
+                            interpret=interpret)

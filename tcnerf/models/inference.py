@@ -49,14 +49,64 @@ def _render_all_rays(apply_fn, variables, src_images, src_intrinsics,
     return fine_rgb, fine_depth
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "chunk", "n_samples",
+                                    "near", "far", "n_blocks"))
+def _render_all_rays_swg(params, src_images, src_intrinsics,
+                         src_extrinsics_inv, combined_features, tgt_pose,
+                         tgt_intrinsics3, rng, height: int, width: int,
+                         chunk: int, n_samples: int, near: float, far: float,
+                         n_blocks: int):
+    """Full-image render through the sorted-window fused kernel (1-view).
+
+    Raster-ordered ray chunks are spatially coherent, so the sorted-window
+    gather's row windows are tight and the per-chunk sorts nearly ordered —
+    the serving-optimal full-image path (perf equivalent of the reference's
+    render_view hot loop, model_v0.py:243-281)."""
+    from .fused import swg_prepare, swg_render_chunk
+
+    rays_o, rays_d = get_rays_jax(width, height, tgt_pose, tgt_intrinsics3)
+    n = height * width
+    n_pad = (-n) % chunk
+    flat_o = jnp.concatenate(
+        [rays_o.reshape(-1, 3), jnp.zeros((n_pad, 3), rays_o.dtype)])
+    flat_d = jnp.concatenate(
+        [rays_d.reshape(-1, 3), jnp.ones((n_pad, 3), rays_d.dtype)])
+    n_chunks = (n + n_pad) // chunk
+    chunks_o = flat_o.reshape(n_chunks, 1, chunk, 3)
+    chunks_d = flat_d.reshape(n_chunks, 1, chunk, 3)
+    keys = jax.random.split(rng, n_chunks)
+    prepared = swg_prepare(params, src_images, combined_features,
+                           n_blocks=n_blocks)
+
+    def render_chunk(args):
+        ro, rd, key = args
+        rgb, depth, fine_rgb, fine_depth = swg_render_chunk(
+            prepared, ro, rd, src_intrinsics, src_extrinsics_inv, key,
+            n_samples=n_samples, near=near, far=far, n_blocks=n_blocks)
+        return fine_rgb[0], fine_depth[0]
+
+    fine_rgb, fine_depth = jax.lax.map(render_chunk,
+                                       (chunks_o, chunks_d, keys))
+    fine_rgb = fine_rgb.reshape(-1, 3)[:n].reshape(height, width, 3)
+    fine_depth = fine_depth.reshape(-1)[:n].reshape(height, width)
+    return fine_rgb, fine_depth
+
+
 def render_view(model, variables, src_colors, src_camera_configs,
                 tgt_camera_config, rng=None, chunk: Optional[int] = None,
-                clip_outputs=None, clip_textuals=None):
+                clip_outputs=None, clip_textuals=None,
+                use_swg: Optional[bool] = None):
     """Render the target camera's full view from source images.
 
     src_colors: list of [H, W, >=3] uint8; camera configs are
     {'pose': 4x4, 'intrinsics': 9-flat} dicts. Returns (rgb uint8 [H, W, 3],
     min-max-normalized depth uint8 [H, W, 1]) like the reference.
+
+    use_swg: route chunks through the sorted-window fused kernel
+    (ops/pallas/swg.py). Default: auto — on for the 1-view serving shape
+    (hidden 128) on TPU backends, off elsewhere (the flax path works on any
+    backend and any view count).
     """
     from ..data.generators import camera_parameters
 
@@ -83,9 +133,21 @@ def render_view(model, variables, src_colors, src_camera_configs,
     tgt_intr3 = jnp.asarray(
         np.reshape(tgt_camera_config["intrinsics"], (3, 3)), jnp.float32)
 
-    fine_rgb, fine_depth = _render_all_rays(
-        model.apply, variables, jnp.asarray(src_images), jnp.asarray(src_intr),
-        jnp.asarray(src_ext), combined, tgt_pose, tgt_intr3, rng, h, w, chunk)
+    if use_swg is None:
+        use_swg = (v == 1 and model.hidden_size == 128
+                   and jax.default_backend() != "cpu")
+    if use_swg:
+        swg_chunk = 4096 if chunk == 512 else chunk
+        fine_rgb, fine_depth = _render_all_rays_swg(
+            variables["params"], jnp.asarray(src_images),
+            jnp.asarray(src_intr), jnp.asarray(src_ext), combined, tgt_pose,
+            tgt_intr3, rng, h, w, swg_chunk, model.n_samples, model.near,
+            model.far, model.n_blocks)
+    else:
+        fine_rgb, fine_depth = _render_all_rays(
+            model.apply, variables, jnp.asarray(src_images),
+            jnp.asarray(src_intr), jnp.asarray(src_ext), combined, tgt_pose,
+            tgt_intr3, rng, h, w, chunk)
 
     rgb = np.clip(np.asarray(fine_rgb) * 255, 0, 255).astype(np.uint8)
     depth = np.asarray(fine_depth)[..., None]

@@ -18,10 +18,17 @@ feeds. This kernel restructures the gather around three measured facts:
 Pipeline: sort queries by corner pixel index (payload: position/direction/
 lerp fractions) -> per 512-query block, DMA two [KA*128, 128] row-windows
 (the y0 and y0+1 image rows live exactly W'/128 groups apart) -> build the
-two weighted one-hots -> two [512, KA*128]@[KA*128, 128] MXU matmuls gather
-AND lerp -> add the positional/direction head -> run the full residual chain
-+ readout in VMEM -> write [512, 4]; un-permute the 4-wide outputs with a
-second cheap sort.
+two weighted one-hots -> two MXU matmuls gather AND lerp -> add the
+positional/direction head -> run the full residual chain + readout in VMEM
+-> un-permute the 4-wide outputs with a second cheap sort.
+
+Two kernel variants: the row-major `_swg_kernel` (geometry head computed
+outside; used for the f32 parity path) and the serving default
+`_swg_kernel_t` — fully transposed [channels, queries] layout with the
+geometry head fused inside (in-kernel double-angle sin/cos on [6, BQ] rows
+uses full lanes; encodings never touch HBM; VPU transcendentals overlap the
+MXU chain). Fine-stage cost at 524k queries: 34.5 ms (XLA 4-tap gather +
+Pallas chain) -> 8.8 ms (docs/perf_notes.md round 2).
 
 The image must be pre-projected to the MLP hidden width
 (MVResNetMLPEmbedding.project_image / SliceableDense.project_tail) and padded
@@ -97,6 +104,201 @@ def _swg_kernel(n_blocks: int, readout: bool, activation: str, ka: int,
     outs = chain_math(hs, weights, 0, n_blocks, readout, activation, fast)
     for k, o in enumerate(outs):
         out_ref[pl.ds(k * sub, sub), :] = o.astype(out_ref.dtype)
+
+
+def _chain_math_t(h, weights, idx, n_blocks: int, readout: bool,
+                  activation: str):
+    """Transposed residual chain: h is [hidden, BQ]; weights are the
+    PRE-TRANSPOSED kernels W^T [out, in] with biases reshaped [out, 1]."""
+    act = jax.nn.relu if activation == "relu" else jax.nn.elu
+
+    def mm(r, wt, b):
+        out = jnp.dot(wt[:], r, preferred_element_type=jnp.float32) + b[:]
+        return out.astype(wt.dtype)
+
+    for _ in range(n_blocks):
+        wa, ba = weights[idx], weights[idx + 1]
+        wb, bb = weights[idx + 2], weights[idx + 3]
+        idx += 4
+        r = act(h)
+        r = mm(r, wa, ba)
+        r = act(r)
+        r = mm(r, wb, bb)
+        h = h + r
+    if readout:
+        wr, br = weights[idx], weights[idx + 1]
+        return mm(jax.nn.relu(h), wr, br)
+    return h
+
+
+def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
+                  n_freq: int, base_freq: float,
+                  s_ref, pdt_ref, *refs):
+    """Fully transposed sorted-window kernel with the geometry head inside.
+
+    Layout is [channels, queries] everywhere: the in-kernel sin/cos runs on
+    [6, BQ] (full lanes, vs 3/128 utilization row-major), the gather matmuls
+    are winT [hidden, win] @ ohT [win, BQ], and the chain is W^T @ h — same
+    MXU rate as row-major (measured), but the encodings are never
+    materialized in HBM and the VPU transcendentals can overlap the MXU.
+
+    refs: [head_pad_T, head_bias, imgA_0..{ka-1}, imgB_0..{ka-1},
+    chain W^T/bias pairs..., out (last)]. head_pad_T is [hidden, 128] with
+    column j holding head-kernel row perm(j) and zero columns past the
+    encoding width (so uninitialized scratch rows cannot leak through).
+    pdt: [16, BQ] f32 = (pos xyz, dir xyz, ax, ay, keys, 7 pad rows)
+    sorted — the keys ride as exact f32 (< 2^24) because Mosaic block
+    sublane dims must be multiples of 8.
+    """
+    out_ref = refs[-1]
+    head_t = refs[0]
+    head_b = refs[1]
+    imgA = refs[2:2 + ka]
+    imgB = refs[2 + ka:2 + 2 * ka]
+    weights = refs[2 + 2 * ka:-1]
+
+    i = pl.program_id(0)
+
+    def body(enc):
+        bq = pdt_ref.shape[1]
+        win = ka * LANE
+        base = s_ref[i] * LANE
+
+        # ---- geometry head: double-angle octaves into scratch [128, BQ]
+        x6 = pdt_ref[0:6, :] * jnp.float32(base_freq)
+        s = jnp.sin(x6)
+        c = jnp.cos(x6)
+        enc[pl.ds(0, 6), :] = s
+        enc[pl.ds(n_freq * 6, 6), :] = c
+        for n in range(1, n_freq):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            enc[pl.ds(n * 6, 6), :] = s
+            enc[pl.ds((n_freq + n) * 6, 6), :] = c
+        enc[pl.ds(2 * n_freq * 6, LANE - 2 * n_freq * 6), :] = jnp.zeros(
+            (LANE - 2 * n_freq * 6, bq), jnp.float32)
+        h0_geo = jnp.dot(head_t[:], enc[:].astype(head_t.dtype),
+                         preferred_element_type=jnp.float32)
+
+        # ---- triangle one-hot gather (transposed)
+        l_f = pdt_ref[8:9, :] - base.astype(jnp.float32)
+        ax = pdt_ref[6:7, :]
+        ay = pdt_ref[7:8, :]
+        ids = jax.lax.broadcasted_iota(jnp.int32, (win, bq), 0).astype(
+            jnp.float32)
+        tri = jnp.maximum(0.0, 1.0 - jnp.abs(ids - (l_f + ax)))
+        ohA = (tri * (1.0 - ay)).astype(imgA[0].dtype)
+        ohB = (tri * ay).astype(imgA[0].dtype)
+        winA = jnp.concatenate([r[0] for r in imgA], axis=1)  # [hidden, win]
+        winB = jnp.concatenate([r[0] for r in imgB], axis=1)
+        h0 = (jnp.dot(winA, ohA, preferred_element_type=jnp.float32)
+              + jnp.dot(winB, ohB, preferred_element_type=jnp.float32)
+              + h0_geo + head_b[:])
+        h = h0.astype(imgA[0].dtype)
+
+        out = _chain_math_t(h, weights, 0, n_blocks, readout, activation)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    pl.run_scoped(body, enc=pltpu.VMEM((LANE, pdt_ref.shape[1]),
+                                       jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_groups", "n_blocks", "n_freq", "base_freq", "readout", "activation",
+    "ka", "bq", "interpret"))
+def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
+                     head_pad_t, head_bias, flat_weights_t: Tuple,
+                     w_groups: int, n_blocks: int, n_freq: int = 10,
+                     base_freq: float = float(np.pi), readout: bool = True,
+                     activation: str = "relu", ka: int = 4, bq: int = 512,
+                     interpret: bool = False):
+    """Transposed fused kernel over pre-sorted queries.
+
+    posdir_t: [16, N] f32 (pos, dir, ax, ay, keys-as-f32, zero pad);
+    img_grouped_t: [G, hidden, 128] (prepare_image_t); head_pad_t:
+    [hidden, 128]; flat_weights_t: pre-transposed chain weights
+    (W^T [out, in], bias [out, 1]) + readout pair. Returns [out_dim, N].
+    """
+    n = posdir_t.shape[1]
+    assert n % bq == 0
+    nb = n // bq
+    hidden = img_grouped_t.shape[1]
+    out_dim = flat_weights_t[-2].shape[0] if readout else hidden
+
+    in_specs = [
+        pl.BlockSpec((16, bq), lambda i, s: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, LANE), lambda i, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, 1), lambda i, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for k in range(ka):                                   # A windows (y0)
+        in_specs.append(pl.BlockSpec(
+            (1, hidden, LANE), lambda i, s, k=k: (s[i] + k, 0, 0),
+            memory_space=pltpu.VMEM))
+    for k in range(ka):                                   # B windows (y0+1)
+        in_specs.append(pl.BlockSpec(
+            (1, hidden, LANE),
+            lambda i, s, k=k: (s[i] + w_groups + k, 0, 0),
+            memory_space=pltpu.VMEM))
+    for wgt in flat_weights_t:
+        in_specs.append(pl.BlockSpec(wgt.shape,
+                                     (lambda i, s: (0, 0)) if wgt.ndim == 2
+                                     else (lambda i, s: (0,)),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_swg_kernel_t, n_blocks, readout, activation,
+                               ka, n_freq, base_freq)
+    head_b2 = head_bias.reshape(hidden, 1)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((out_dim, bq), lambda i, s: (0, i),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_dim, n), jnp.float32),
+        interpret=interpret,
+    )(s_blocks, posdir_t, head_pad_t, head_b2,
+      *([img_grouped_t] * (2 * ka)), *flat_weights_t)
+
+
+def head_pad_transposed(head_kernel, dim: int, n_freq: int):
+    """[pd, hidden] head kernel -> [hidden, 128] with column j = head row
+    perm(j): octave-major (sin octaves then cos octaves), channel minor
+    (pos xyz, dir xyz) — matching _swg_kernel_t's scratch layout; columns
+    past 2*n_freq*2*dim are zero (they multiply uninitialized scratch)."""
+    hidden = head_kernel.shape[1]
+    cols = []
+    for f in range(2):
+        for nq in range(n_freq):
+            for ch in range(2 * dim):
+                blk = 0 if ch < dim else dim * 2 * n_freq
+                dd = ch % dim
+                cols.append(blk + dd * 2 * n_freq + nq * 2 + f)
+    perm = np.asarray(cols)
+    head_t = jnp.transpose(head_kernel[perm])            # [hidden, 120]
+    pad = LANE - head_t.shape[1]
+    return jnp.concatenate(
+        [head_t, jnp.zeros((hidden, pad), head_t.dtype)], axis=1)
+
+
+def transpose_chain_weights(flat_weights: Tuple):
+    """Row-major chain weights -> (W^T [out, in], bias [out, 1]) pairs."""
+    out = []
+    for w in flat_weights:
+        if w.ndim == 2:
+            out.append(jnp.transpose(w))
+        else:
+            out.append(w.reshape(-1, 1))
+    return tuple(out)
+
+
+def prepare_image_t(img_p: jnp.ndarray, ka: int = 4):
+    """Like prepare_image but groups transposed to [G, hidden, 128]."""
+    grouped, w_pad, w_groups = prepare_image(img_p, ka=ka)
+    return jnp.transpose(grouped, (0, 2, 1)), w_pad, w_groups
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -213,6 +415,7 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
              pos_encoding_freq: float = float(np.pi),
              embed_direction_vector: bool = True, ka: int = 4, bq: int = 512,
              fast: bool = True, nsplit: int = 1, fast_encoding: bool = True,
+             img_grouped_t=None, head_pad_t=None, flat_t=None,
              interpret: bool = False):
     """Full sorted-window pipeline over flat queries (1 view, 1 batch).
 
@@ -297,13 +500,39 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
                               embed_direction_vector).astype(dt)
         return (enc @ head + head_bias.astype(dt)).astype(dt)
 
+    use_transposed = fast and embed_direction_vector
+
     def kernel_branch(_):
-        h0_geo = encode(pos_s, dir_s)
-        out_s = swg_gather_mlp(
-            s_blocks, keys_s[:, None], jnp.stack([ax_s, ay_s], axis=-1),
-            h0_geo, img_grouped, flat_weights, w_groups, n_blocks,
-            readout=True, ka=ka, bq=bq, fast=fast, nsplit=nsplit,
-            interpret=interpret)
+        if use_transposed:
+            # [channels, queries] layout with the geometry head fused into
+            # the kernel (in-kernel sin/cos on [6, BQ] uses full lanes; the
+            # encodings never touch HBM) — see _swg_kernel_t. The transposed
+            # image/weight artifacts are invariants; callers rendering many
+            # chunks precompute them once (swg_prepare) so they are not
+            # rebuilt inside scan/cond bodies where XLA cannot hoist them.
+            zero = jnp.zeros_like(ax_s)
+            pdt = jnp.stack([px, py, pz, dx, dy, dz, ax_s, ay_s,
+                             keys_s.astype(jnp.float32)]
+                            + [zero] * 7, axis=0)
+            img_t = (jnp.transpose(img_grouped, (0, 2, 1))
+                     if img_grouped_t is None else img_grouped_t)
+            head_pt = (head_pad_transposed(head_kernel, 3, n_freq).astype(dt)
+                       if head_pad_t is None else head_pad_t)
+            ft = (transpose_chain_weights(flat_weights) if flat_t is None
+                  else flat_t)
+            out_t = swg_gather_mlp_t(
+                s_blocks, pdt, img_t, head_pt,
+                head_bias.astype(jnp.float32), ft, w_groups, n_blocks,
+                n_freq=n_freq, base_freq=pos_encoding_freq, readout=True,
+                ka=ka, bq=bq, interpret=interpret)
+            out_s = jnp.transpose(out_t)
+        else:
+            h0_geo = encode(pos_s, dir_s)
+            out_s = swg_gather_mlp(
+                s_blocks, keys_s[:, None], jnp.stack([ax_s, ay_s], axis=-1),
+                h0_geo, img_grouped, flat_weights, w_groups, n_blocks,
+                readout=True, ka=ka, bq=bq, fast=fast, nsplit=nsplit,
+                interpret=interpret)
         # un-permute the narrow outputs with a second sort (cheaper than a
         # scattered row gather at this row count — tools/bench_gather4.py)
         cols = [out_s[:, j] for j in range(out_s.shape[1])]

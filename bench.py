@@ -34,7 +34,7 @@ def main():
 
     h, w = 480, 640
     n_views = 1
-    n_rays = 4096
+    n_rays = int(os.environ.get("TCNERF_BENCH_RAYS", "4096"))
     model = MVNeRFRenderer(
         n_views=n_views, n_samples=64, n_features=256, near=0.3, far=1.3,
         original_image_size=(h, w), fusion="without", n_blocks=6,
@@ -72,8 +72,9 @@ def main():
         inputs[0], inputs[1], src_images_b, inputs[3], inputs[4], features,
         method="render_rays")
 
-    n_chunks = 16  # rays per dispatch = n_chunks * n_rays (amortizes the
-    # host->device dispatch latency of the tunneled chip)
+    n_chunks = int(os.environ.get("TCNERF_BENCH_CHUNKS", "16"))
+    # rays per dispatch = n_chunks * n_rays (amortizes the host->device
+    # dispatch latency of the tunneled chip)
     path = os.environ.get("TCNERF_BENCH_PATH", "swg")
 
     if path == "swg":

@@ -49,7 +49,10 @@ class TransformerBlock(nn.Module):
         if self.norm1_batchstat:
             x = BatchStatNorm(dtype=self.dtype, name="norm_1")(inputs)
         else:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm_1")(inputs)
+            # eps matches torch.nn.LayerNorm (1e-5), the origin of the
+            # imported ViT weights (tests/test_import_numerical.py)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="norm_1")(inputs)
         head_dim = self.embed_dim // self.num_heads
         b, t, _ = x.shape
         q = nn.DenseGeneral((self.num_heads, head_dim), dtype=self.dtype, name="q")(x)
@@ -59,7 +62,7 @@ class TransformerBlock(nn.Module):
         attn = nn.DenseGeneral(self.embed_dim, axis=(-2, -1), dtype=self.dtype,
                                name="attn_out")(attn)
         x = inputs + attn
-        y = nn.LayerNorm(dtype=self.dtype, name="norm_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_2")(x)
         y = nn.Dense(self.embed_dim * self.mlp_ratio, dtype=self.dtype, name="mlp_0")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.embed_dim, dtype=self.dtype, name="mlp_1")(y)

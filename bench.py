@@ -43,17 +43,24 @@ def main():
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
-    # camera looking at the workspace center from above
+    # source and target cameras on a ring looking at the workspace center —
+    # rays go through REAL target pixels so their sample points project
+    # into the source view like the reference's render workload
+    # (model_v0.py:243-281). Random ray directions are degenerate: ~94%
+    # never hit the source image and every key clamps to the border.
+    from tcnerf.core.rays import get_specific_rays
     from tcnerf.data.synthetic import camera_ring
-    cfg = camera_ring(1, height=h, width=w)[0]
+    cfg, tgt = camera_ring(2, height=h, width=w)[:2]
     k4 = np.eye(4, dtype=np.float32)
     k4[:3, :3] = cfg["intrinsics"].reshape(3, 3)
     ext_inv = np.linalg.inv(cfg["pose"]).astype(np.float32)
 
-    ray_d = rng.normal(size=(1, n_rays, 3)).astype(np.float32)
-    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
-    ray_o = np.broadcast_to(cfg["pose"][:3, 3].astype(np.float32),
-                            ray_d.shape).copy()
+    pix_x = rng.uniform(0, w - 1, n_rays).astype(np.float32)
+    pix_y = rng.uniform(0, h - 1, n_rays).astype(np.float32)
+    ro, rd = get_specific_rays(pix_x, pix_y, tgt["pose"],
+                               tgt["intrinsics"].reshape(3, 3))
+    ray_o = ro[None].astype(np.float32)
+    ray_d = rd[None].astype(np.float32)
     src_images = rng.uniform(size=(1, n_views, h, w, 3)).astype(np.float32)
     src_intr = np.broadcast_to(k4, (1, n_views, 4, 4)).copy()
     src_ext = np.broadcast_to(ext_inv, (1, n_views, 4, 4)).copy()
@@ -89,10 +96,17 @@ def main():
                                    n_blocks=6, ka=4)
 
             def chunk(carry, key):
+                # sg=4 subgroup windows: random-pixel ray batches project
+                # with sparse regions whose sorted spans exceed one 512-query
+                # window; four per-128-query 1024-row windows (ka=8) have
+                # zero overflow on this geometry while the chain still runs
+                # full [128, 512] MXU tiles (window params are per-call knobs)
                 out = swg_render_chunk(
                     prepared, ray_o, ray_d, inputs[3], inputs[4], key,
-                    n_samples=64, near=0.3, far=1.3, n_blocks=6, ka=4,
-                    bq=512)
+                    n_samples=64, near=0.3, far=1.3, n_blocks=6,
+                    ka=int(os.environ.get("TCNERF_BENCH_KA", "8")),
+                    bq=int(os.environ.get("TCNERF_BENCH_BQ", "512")),
+                    sg=int(os.environ.get("TCNERF_BENCH_SG", "4")))
                 return carry + jnp.sum(out[2].astype(jnp.float32)), None
 
             acc, _ = jax.lax.scan(chunk, jnp.zeros(()), keys)

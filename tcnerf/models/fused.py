@@ -114,7 +114,7 @@ def fused_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
 def swg_field(stage_params, world_points, z, cam_dirs, img_grouped,
               w_pad: int, w_groups: int, image_hw, src_intrinsics,
               src_extrinsics_inv, n_blocks: int, n_freq: int = 10,
-              ka: int = 6, bq: int = 512, fast: bool = True,
+              ka: int = 6, bq: int = 512, sg: int = 1, fast: bool = True,
               nsplit: int = 1, interpret: bool = False, stage_prep=None):
     """Field evaluation via the sorted-window fused gather+MLP kernel
     (ops/pallas/swg.py; 1-view serving). stage_params = (head_k, head_b,
@@ -135,7 +135,7 @@ def swg_field(stage_params, world_points, z, cam_dirs, img_grouped,
                             (b, 1, r, s, 3)).reshape(-1, 3)
     out, _ = swg_rows(img_grouped, w_pad, w_groups, w, h, coords, pos, dirs,
                       head_k, head_b, flat, n_blocks, n_freq=n_freq, ka=ka,
-                      bq=bq, fast=fast, nsplit=nsplit,
+                      bq=bq, sg=sg, fast=fast, nsplit=nsplit,
                       img_grouped_t=img_t, head_pad_t=head_pt, flat_t=flat_t,
                       interpret=interpret)
     out = out.astype(jnp.float32).reshape(b, r, s, 4)
@@ -202,9 +202,16 @@ def swg_prepare(params, src_images, combined_features, n_blocks: int = 6,
 def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
                      src_extrinsics_inv, key, n_samples: int = 64,
                      near: float = 0.3, far: float = 1.3, n_blocks: int = 6,
-                     ka: int = 6, bq: int = 512, nsplit: int = 1,
-                     fast: bool = True, interpret: bool = False):
-    """One hierarchical render chunk against swg_prepare artifacts."""
+                     ka: int = 8, bq: int = 512, sg: int = 4,
+                     nsplit: int = 1, fast: bool = True,
+                     interpret: bool = False):
+    """One hierarchical render chunk against swg_prepare artifacts.
+
+    Default window geometry (sg=4 subgroups of 128 queries, each with its
+    own 1024-row window) holds zero-overflow on realistic ray batches whose
+    sorted key spans are sparse in places, while the chain still runs full
+    [hidden, 512] MXU tiles (docs/perf_notes.md ray-geometry correction).
+    """
     stage_c, stage_f, (h, w), w_pad, w_groups = prepared
     key_c, key_f = jax.random.split(key)
 
@@ -216,8 +223,9 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     chroma, density = swg_field(params_c, world_points, z, cam_dirs,
                                 grouped_c, w_pad, w_groups, (h, w),
                                 src_intrinsics, src_extrinsics_inv, n_blocks,
-                                ka=ka, bq=bq, fast=fast, nsplit=nsplit,
-                                interpret=interpret, stage_prep=prep_c)
+                                ka=ka, bq=bq, sg=sg, fast=fast,
+                                nsplit=nsplit, interpret=interpret,
+                                stage_prep=prep_c)
     rgb, depth, weights = render.volumetric_render(z, density, chroma)
 
     z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
@@ -231,7 +239,8 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     fine_chroma, fine_density = swg_field(
         params_f, fine_points, all_z, cam_dirs, grouped_f, w_pad, w_groups,
         (h, w), src_intrinsics, src_extrinsics_inv, n_blocks, ka=ka, bq=bq,
-        fast=fast, nsplit=nsplit, interpret=interpret, stage_prep=prep_f)
+        sg=sg, fast=fast, nsplit=nsplit, interpret=interpret,
+        stage_prep=prep_f)
     fine_rgb, fine_depth, _ = render.volumetric_render(all_z, fine_density,
                                                        fine_chroma)
     return rgb, depth, fine_rgb, fine_depth

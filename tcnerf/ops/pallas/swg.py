@@ -132,7 +132,7 @@ def _chain_math_t(h, weights, idx, n_blocks: int, readout: bool,
 
 
 def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
-                  n_freq: int, base_freq: float,
+                  sg: int, n_freq: int, base_freq: float,
                   s_ref, pdt_ref, *refs):
     """Fully transposed sorted-window kernel with the geometry head inside.
 
@@ -142,27 +142,32 @@ def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
     MXU rate as row-major (measured), but the encodings are never
     materialized in HBM and the VPU transcendentals can overlap the MXU.
 
-    refs: [head_pad_T, head_bias, imgA_0..{ka-1}, imgB_0..{ka-1},
-    chain W^T/bias pairs..., out (last)]. head_pad_T is [hidden, 128] with
-    column j holding head-kernel row perm(j) and zero columns past the
-    encoding width (so uninitialized scratch rows cannot leak through).
+    refs: [head_pad_T, head_bias, then per subgroup j: imgA_j_0..{ka-1},
+    imgB_j_0..{ka-1}, then chain W^T/bias pairs..., out (last)]. head_pad_T
+    is [hidden, 128] with column j holding head-kernel row perm(j) and zero
+    columns past the encoding width (so uninitialized scratch rows cannot
+    leak through).
     pdt: [16, BQ] f32 = (pos xyz, dir xyz, ax, ay, keys, 7 pad rows)
     sorted — the keys ride as exact f32 (< 2^24) because Mosaic block
     sublane dims must be multiples of 8.
+
+    sg>1 splits the BQ queries into sg subgroups, each with its OWN window
+    base (scalar-prefetch entry i*sg+j): sparse key regions need wide
+    per-128-query windows while the residual chain still runs on the full
+    [hidden, BQ] tile — decoupling gather capacity from MXU tile size.
     """
     out_ref = refs[-1]
     head_t = refs[0]
     head_b = refs[1]
-    imgA = refs[2:2 + ka]
-    imgB = refs[2 + ka:2 + 2 * ka]
-    weights = refs[2 + 2 * ka:-1]
+    nwin = 2 * ka * sg
+    wins = refs[2:2 + nwin]
+    weights = refs[2 + nwin:-1]
 
     i = pl.program_id(0)
 
     def body(enc):
         bq = pdt_ref.shape[1]
         win = ka * LANE
-        base = s_ref[i] * LANE
 
         # ---- geometry head: double-angle octaves into scratch [128, BQ]
         x6 = pdt_ref[0:6, :] * jnp.float32(base_freq)
@@ -179,21 +184,30 @@ def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
         h0_geo = jnp.dot(head_t[:], enc[:].astype(head_t.dtype),
                          preferred_element_type=jnp.float32)
 
-        # ---- triangle one-hot gather (transposed)
-        l_f = pdt_ref[8:9, :] - base.astype(jnp.float32)
-        ax = pdt_ref[6:7, :]
-        ay = pdt_ref[7:8, :]
-        ids = jax.lax.broadcasted_iota(jnp.int32, (win, bq), 0).astype(
-            jnp.float32)
-        tri = jnp.maximum(0.0, 1.0 - jnp.abs(ids - (l_f + ax)))
-        ohA = (tri * (1.0 - ay)).astype(imgA[0].dtype)
-        ohB = (tri * ay).astype(imgA[0].dtype)
-        winA = jnp.concatenate([r[0] for r in imgA], axis=1)  # [hidden, win]
-        winB = jnp.concatenate([r[0] for r in imgB], axis=1)
-        h0 = (jnp.dot(winA, ohA, preferred_element_type=jnp.float32)
-              + jnp.dot(winB, ohB, preferred_element_type=jnp.float32)
-              + h0_geo + head_b[:])
-        h = h0.astype(imgA[0].dtype)
+        # ---- triangle one-hot gather (transposed), one window/subgroup
+        sub = bq // sg
+        dt = wins[0].dtype
+        h0_parts = []
+        for j in range(sg):
+            cols = pl.ds(j * sub, sub)
+            base_j = (s_ref[i * sg + j] * LANE).astype(jnp.float32)
+            l_f = pdt_ref[8:9, cols] - base_j
+            ax = pdt_ref[6:7, cols]
+            ay = pdt_ref[7:8, cols]
+            ids = jax.lax.broadcasted_iota(jnp.int32, (win, sub), 0).astype(
+                jnp.float32)
+            tri = jnp.maximum(0.0, 1.0 - jnp.abs(ids - (l_f + ax)))
+            ohA = (tri * (1.0 - ay)).astype(dt)
+            ohB = (tri * ay).astype(dt)
+            winA = jnp.concatenate(
+                [wins[j * 2 * ka + k][0] for k in range(ka)], axis=1)
+            winB = jnp.concatenate(
+                [wins[j * 2 * ka + ka + k][0] for k in range(ka)], axis=1)
+            h0_parts.append(
+                jnp.dot(winA, ohA, preferred_element_type=jnp.float32)
+                + jnp.dot(winB, ohB, preferred_element_type=jnp.float32))
+        h0 = jnp.concatenate(h0_parts, axis=1) + h0_geo + head_b[:]
+        h = h0.astype(dt)
 
         out = _chain_math_t(h, weights, 0, n_blocks, readout, activation)
         out_ref[:] = out.astype(out_ref.dtype)
@@ -204,19 +218,21 @@ def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "w_groups", "n_blocks", "n_freq", "base_freq", "readout", "activation",
-    "ka", "bq", "interpret"))
+    "ka", "bq", "sg", "interpret"))
 def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
                      head_pad_t, head_bias, flat_weights_t: Tuple,
                      w_groups: int, n_blocks: int, n_freq: int = 10,
                      base_freq: float = float(np.pi), readout: bool = True,
                      activation: str = "relu", ka: int = 4, bq: int = 512,
-                     interpret: bool = False):
+                     sg: int = 1, interpret: bool = False):
     """Transposed fused kernel over pre-sorted queries.
 
     posdir_t: [16, N] f32 (pos, dir, ax, ay, keys-as-f32, zero pad);
     img_grouped_t: [G, hidden, 128] (prepare_image_t); head_pad_t:
     [hidden, 128]; flat_weights_t: pre-transposed chain weights
-    (W^T [out, in], bias [out, 1]) + readout pair. Returns [out_dim, N].
+    (W^T [out, in], bias [out, 1]) + readout pair; s_blocks: [N/(bq/sg)]
+    per-SUBGROUP window bases (sg windows per bq-query block). Returns
+    [out_dim, N].
     """
     n = posdir_t.shape[1]
     assert n % bq == 0
@@ -231,15 +247,17 @@ def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
         pl.BlockSpec((hidden, 1), lambda i, s: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    for k in range(ka):                                   # A windows (y0)
-        in_specs.append(pl.BlockSpec(
-            (1, hidden, LANE), lambda i, s, k=k: (s[i] + k, 0, 0),
-            memory_space=pltpu.VMEM))
-    for k in range(ka):                                   # B windows (y0+1)
-        in_specs.append(pl.BlockSpec(
-            (1, hidden, LANE),
-            lambda i, s, k=k: (s[i] + w_groups + k, 0, 0),
-            memory_space=pltpu.VMEM))
+    for j in range(sg):
+        for k in range(ka):                               # A windows (y0)
+            in_specs.append(pl.BlockSpec(
+                (1, hidden, LANE),
+                lambda i, s, j=j, k=k: (s[i * sg + j] + k, 0, 0),
+                memory_space=pltpu.VMEM))
+        for k in range(ka):                               # B windows (y0+1)
+            in_specs.append(pl.BlockSpec(
+                (1, hidden, LANE),
+                lambda i, s, j=j, k=k: (s[i * sg + j] + w_groups + k, 0, 0),
+                memory_space=pltpu.VMEM))
     for wgt in flat_weights_t:
         in_specs.append(pl.BlockSpec(wgt.shape,
                                      (lambda i, s: (0, 0)) if wgt.ndim == 2
@@ -247,7 +265,7 @@ def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
                                      memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_swg_kernel_t, n_blocks, readout, activation,
-                               ka, n_freq, base_freq)
+                               ka, sg, n_freq, base_freq)
     head_b2 = head_bias.reshape(hidden, 1)
     return pl.pallas_call(
         kernel,
@@ -261,7 +279,7 @@ def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
         out_shape=jax.ShapeDtypeStruct((out_dim, n), jnp.float32),
         interpret=interpret,
     )(s_blocks, posdir_t, head_pad_t, head_b2,
-      *([img_grouped_t] * (2 * ka)), *flat_weights_t)
+      *([img_grouped_t] * (2 * ka * sg)), *flat_weights_t)
 
 
 def head_pad_transposed(head_kernel, dim: int, n_freq: int):
@@ -403,7 +421,9 @@ def prepare_image(img_p: jnp.ndarray, ka: int = 4):
     flat = img_p.reshape(h * w_pad, c)
     n_groups = h * w_pad // LANE
     grouped = flat.reshape(n_groups, LANE, c)
-    pad_groups = w_groups + ka
+    # pad for the largest window any caller may request (ka is a per-call
+    # knob; padding for max(ka, 16) keeps the image valid for all of them)
+    pad_groups = w_groups + max(ka, 16)
     grouped = jnp.concatenate(
         [grouped, jnp.zeros((pad_groups, LANE, c), grouped.dtype)], axis=0)
     return grouped, w_pad, w_groups
@@ -414,7 +434,8 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
              flat_weights: Tuple, n_blocks: int, n_freq: int = 10,
              pos_encoding_freq: float = float(np.pi),
              embed_direction_vector: bool = True, ka: int = 4, bq: int = 512,
-             fast: bool = True, nsplit: int = 1, fast_encoding: bool = True,
+             sg: int = 1, fast: bool = True, nsplit: int = 1,
+             fast_encoding: bool = True,
              img_grouped_t=None, head_pad_t=None, flat_t=None,
              interpret: bool = False):
     """Full sorted-window pipeline over flat queries (1 view, 1 batch).
@@ -457,10 +478,11 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
          positions[:, 0], positions[:, 1], positions[:, 2],
          directions[:, 0], directions[:, 1], directions[:, 2]), num_keys=1)
 
-    s_blocks = keys_s[::bq] // LANE
-    # per-block span check: the largest local index (+1 for the x+1 corner)
-    # must stay inside the ka*128 window
-    span = keys_s[bq - 1::bq] - s_blocks * LANE
+    sub = bq // sg if (fast and embed_direction_vector) else bq
+    s_blocks = keys_s[::sub] // LANE
+    # per-(sub)block span check: the largest local index (+1 for the x+1
+    # corner) must stay inside the ka*128 window
+    span = keys_s[sub - 1::sub] - s_blocks * LANE
     overflowed = jnp.any(span > ka * LANE - 2)
 
     pos_s = jnp.stack([px, py, pz], axis=-1)
@@ -524,7 +546,7 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
                 s_blocks, pdt, img_t, head_pt,
                 head_bias.astype(jnp.float32), ft, w_groups, n_blocks,
                 n_freq=n_freq, base_freq=pos_encoding_freq, readout=True,
-                ka=ka, bq=bq, interpret=interpret)
+                ka=ka, bq=bq, sg=sg, interpret=interpret)
             out_s = jnp.transpose(out_t)
         else:
             h0_geo = encode(pos_s, dir_s)
@@ -545,9 +567,9 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
         from .resmlp import resmlp_rows
         from ...ops.interpolate import bilinear_gather
 
-        n_groups = img_grouped.shape[0] - (w_groups + ka)
+        n_groups = h_real * w_pad // LANE
         img = img_grouped[:n_groups].reshape(
-            n_groups * LANE // w_pad, w_pad, img_grouped.shape[-1])
+            h_real, w_pad, img_grouped.shape[-1])
         feats = bilinear_gather(
             img[None], jnp.stack([jnp.concatenate([x, jnp.zeros(
                 (n_pad - n,), x.dtype)]) if n_pad != n else x,

@@ -104,7 +104,7 @@ def main():
                 out = swg_render_chunk(
                     prepared, ray_o, ray_d, inputs[3], inputs[4], key,
                     n_samples=64, near=0.3, far=1.3, n_blocks=6,
-                    ka=int(os.environ.get("TCNERF_BENCH_KA", "8")),
+                    ka=int(os.environ.get("TCNERF_BENCH_KA", "6")),
                     bq=int(os.environ.get("TCNERF_BENCH_BQ", "512")),
                     sg=int(os.environ.get("TCNERF_BENCH_SG", "4")))
                 return carry + jnp.sum(out[2].astype(jnp.float32)), None

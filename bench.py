@@ -105,8 +105,8 @@ def main():
                     prepared, ray_o, ray_d, inputs[3], inputs[4], key,
                     n_samples=64, near=0.3, far=1.3, n_blocks=6,
                     ka=int(os.environ.get("TCNERF_BENCH_KA", "6")),
-                    bq=int(os.environ.get("TCNERF_BENCH_BQ", "512")),
-                    sg=int(os.environ.get("TCNERF_BENCH_SG", "4")))
+                    bq=int(os.environ.get("TCNERF_BENCH_BQ", "1024")),
+                    sg=int(os.environ.get("TCNERF_BENCH_SG", "8")))
                 return carry + jnp.sum(out[2].astype(jnp.float32)), None
 
             acc, _ = jax.lax.scan(chunk, jnp.zeros(()), keys)

@@ -107,10 +107,10 @@ def main():
                     ka=int(os.environ.get("TCNERF_BENCH_KA", "6")),
                     bq=int(os.environ.get("TCNERF_BENCH_BQ", "1024")),
                     sg=int(os.environ.get("TCNERF_BENCH_SG", "8")))
-                return carry + jnp.sum(out[2].astype(jnp.float32)), None
+                return carry + jnp.sum(out[2].astype(jnp.float32)), out[4]
 
-            acc, _ = jax.lax.scan(chunk, jnp.zeros(()), keys)
-            return acc
+            acc, n_of = jax.lax.scan(chunk, jnp.zeros(()), keys)
+            return acc, jnp.sum(n_of)
     else:
         @jax.jit
         def render_many(params, ray_o, ray_d, keys):
@@ -121,27 +121,46 @@ def main():
                 return carry + jnp.sum(out[2].astype(jnp.float32)), None
 
             acc, _ = jax.lax.scan(chunk, jnp.zeros(()), keys)
-            return acc
+            return acc, jnp.zeros((), jnp.int32)
 
     params = variables["params"]
     keys = jax.random.split(key, n_chunks)
     # warmup/compile (host pull = real sync)
-    _ = float(render_many(params, inputs[0], inputs[1], keys))
+    acc, n_of = render_many(params, inputs[0], inputs[1], keys)
+    _ = float(acc)
+    n_overflow = int(n_of)
 
     n_iters = 5
     # NOTE: end timing with a host transfer — block_until_ready does not
     # actually synchronize through the axon tunnel (see docs/perf_notes.md)
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = render_many(params, inputs[0], inputs[1], keys)
+        out, _nof = render_many(params, inputs[0], inputs[1], keys)
     _ = float(out)
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_iters * n_chunks * n_rays / dt
 
+    # MFU accounting: useful FLOPs = what the reference algorithm requires
+    # per sample (model_v0.py:102-184 at default shapes) — full layer_0
+    # ((120 enc + 259 feat) x 128), 12 residual layers (128x128), readout
+    # (128x4); x2 for MAC. Gather/sort/compositing overheads excluded.
+    # 192 = 64 coarse + 128 fine samples per ray. The 74 TF/s denominator is
+    # this chip's measured ceiling for K=N=128 matmul chains
+    # (docs/perf_notes.md) — the speed-of-light for this chain shape.
+    flop_per_sample = 2 * (379 * 128 + 12 * 128 * 128 + 128 * 4)
+    useful_tflops = rays_per_sec * 192 * flop_per_sample / 1e12
+    chain_ceiling_tflops = 74.0
+
     clip_ips = None
     if os.environ.get("TCNERF_BENCH_CLIP", "1") != "0":
         clip_ips = round(bench_clip(), 1)
+
+    train_ms = train_b8_ms = dngf_ms = None
+    if os.environ.get("TCNERF_BENCH_TRAIN", "1") != "0":
+        train_ms = round(bench_train_step(batch=1), 2)
+        train_b8_ms = round(bench_train_step(batch=8), 2)
+        dngf_ms = round(bench_dngf_step(batch=8), 2)
 
     print(json.dumps({
         "metric": ("rays/sec/chip (sorted-window fused hierarchical render, "
@@ -150,8 +169,135 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / NORTH_STAR, 4),
+        "useful_tflops": round(useful_tflops, 2),
+        "pct_of_chain_ceiling": round(
+            100 * useful_tflops / chain_ceiling_tflops, 1),
+        "swg_overflow_chunks": n_overflow,
         "clip_images_per_sec": clip_ips,
+        "train_step_ms_b1": train_ms,
+        "train_step_ms_b8": train_b8_ms,
+        "dngf_train_step_ms_b8": dngf_ms,
     }))
+
+
+def bench_train_step(batch: int, iters: int = 3, scan_len: int = 4,
+                     n_rays: int = 512):
+    """Full fwd+bwd NeRF train step time (ms) at the reference training shape:
+    512 rays x 64 coarse (+128 fine) samples, encoder towers IN the loop,
+    480x640 sources, fusion='without' (the reference's batch-8 config,
+    src/configs/nerf_training/default.yaml + model_without.py). The dominant
+    reference workload is 1600 epochs of exactly this step
+    (model_v0.py:186-197)."""
+    from tcnerf.core.rays import get_specific_rays
+    from tcnerf.data.synthetic import camera_ring
+    from tcnerf.models import training as T
+    from tcnerf.models.renderer import MVNeRFRenderer
+
+    h, w = 480, 640
+    model = MVNeRFRenderer(
+        n_views=1, n_samples=64, n_features=256, near=0.3, far=1.3,
+        original_image_size=(h, w), fusion="without", n_blocks=6,
+        hidden_size=128,
+        pallas_mlp=os.environ.get("TCNERF_BENCH_TRAIN_PALLAS", "0") == "1")
+
+    rng = np.random.default_rng(2)
+    cfg, tgt = camera_ring(2, height=h, width=w)[:2]
+    k4 = np.eye(4, dtype=np.float32)
+    k4[:3, :3] = cfg["intrinsics"].reshape(3, 3)
+    ext_inv = np.linalg.inv(cfg["pose"]).astype(np.float32)
+    pix_x = rng.uniform(0, w - 1, (batch, n_rays)).astype(np.float32)
+    pix_y = rng.uniform(0, h - 1, (batch, n_rays)).astype(np.float32)
+    ro = np.empty((batch, n_rays, 3), np.float32)
+    rd = np.empty((batch, n_rays, 3), np.float32)
+    for b in range(batch):
+        ro[b], rd[b] = get_specific_rays(pix_x[b], pix_y[b], tgt["pose"],
+                                         tgt["intrinsics"].reshape(3, 3))
+    inputs = (jnp.asarray(ro), jnp.asarray(rd),
+              jnp.asarray(rng.uniform(size=(batch, 1, h, w, 3)), jnp.float32),
+              jnp.asarray(np.broadcast_to(k4, (batch, 1, 4, 4))),
+              jnp.asarray(np.broadcast_to(ext_inv, (batch, 1, 4, 4))))
+    labels = jnp.asarray(rng.uniform(size=(batch, n_rays, 3)), jnp.float32)
+
+    state = T.create_train_state(model, jax.random.PRNGKey(0), inputs)
+
+    @jax.jit
+    def run(state, rng):
+        def step(st, key):
+            st, metrics = T.nerf_train_step(st, inputs, labels, key)
+            return st, metrics["loss"]
+
+        return jax.lax.scan(step, state, jax.random.split(rng, scan_len))
+
+    st, losses = run(state, jax.random.PRNGKey(1))
+    _ = float(losses[-1])                                  # warmup + sync
+    t0 = time.perf_counter()
+    for i in range(iters):
+        st, losses = run(st, jax.random.PRNGKey(2 + i))
+    _ = float(losses[-1])
+    dt = time.perf_counter() - t0
+    return dt / (iters * scan_len) * 1e3
+
+
+def bench_dngf_step(batch: int = 8, iters: int = 3, scan_len: int = 2):
+    """Second-order DeltaNGF train step time (ms) at the reference grasp
+    shape: batch x (512 landscape poses + 32x6 augmented trajectory poses)
+    x 42 probes, encoder in the loop (grasp_training/default.yaml batch 8,
+    generator_grasp pose_augmentation_factor=32 x n_future_poses=6,
+    delta_ngf/model.py:254-309)."""
+    from tcnerf.data.generators import camera_parameters
+    from tcnerf.data.synthetic import camera_ring
+    from tcnerf.models import grasp_training as GT
+    from tcnerf.models.grasp import GraspEBM
+
+    h, w = 480, 640
+    n_landscape, n_grad = 512, 32 * 6
+    model = GraspEBM(n_views=1, n_features=256, original_image_size=(h, w),
+                     n_5d_poses=7, n_blocks=6, hidden_size=128)
+
+    rng = np.random.default_rng(3)
+    cfg = camera_ring(1, height=h, width=w)[0]
+    ext_inv, k4 = camera_parameters(cfg)
+    imgs = jnp.asarray(rng.uniform(size=(batch, 1, h, w, 3)), jnp.float32)
+    intr = jnp.asarray(np.broadcast_to(k4, (batch, 1, 4, 4)), jnp.float32)
+    ext = jnp.asarray(np.broadcast_to(ext_inv, (batch, 1, 4, 4)), jnp.float32)
+
+    def poses(n):
+        t = rng.uniform([0.3, -0.25, 0.0], [0.7, 0.25, 0.3],
+                        (batch, n, 3)).astype(np.float32)
+        q = rng.normal(size=(batch, n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        return jnp.asarray(t), jnp.asarray(q)
+
+    l_t, l_r = poses(n_landscape)
+    g_t, g_r = poses(n_grad)
+    onehot = np.zeros((batch, n_landscape), np.float32)
+    onehot[:, 0] = 1.0
+    labels = [jnp.asarray(onehot),
+              jnp.asarray(rng.normal(size=(batch, n_grad, 3)), jnp.float32),
+              jnp.asarray(rng.normal(size=(batch, n_grad, 4)), jnp.float32)]
+    inputs = [l_t, l_r, g_t, g_r, imgs, intr, ext]
+
+    poses44 = jnp.tile(jnp.eye(4), (batch, 2, 1, 1)).astype(jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), poses44, imgs, intr,
+                        ext)["params"]
+    state = GT.create_grasp_train_state(model, params)
+
+    @jax.jit
+    def run(state, _):
+        def step(st, i):
+            st, metrics = GT.delta_ngf_train_step(st, inputs, labels)
+            return st, metrics["landscape_loss"]
+
+        return jax.lax.scan(step, state, jnp.arange(scan_len))
+
+    st, losses = run(state, 0)
+    _ = float(losses[-1])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        st, losses = run(st, i)
+    _ = float(losses[-1])
+    dt = time.perf_counter() - t0
+    return dt / (iters * scan_len) * 1e3
 
 
 def bench_clip(batch: int = 32, iters: int = 4):

@@ -120,7 +120,12 @@ def swg_field(stage_params, world_points, z, cam_dirs, img_grouped,
     (ops/pallas/swg.py; 1-view serving). stage_params = (head_k, head_b,
     flat_block_and_readout_weights); stage_prep optionally carries the
     precomputed transposed artifacts (img_grouped_t, head_pad_t, flat_t)
-    from swg_prepare so chunk loops do not rebuild them."""
+    from swg_prepare so chunk loops do not rebuild them.
+
+    Returns (chroma, density, overflowed) — `overflowed` is True when any
+    query block's sorted span exceeded its window and the whole call took
+    the exact-but-slower XLA fallback; callers should surface it (the
+    fallback is a silent ~3x throughput regression otherwise)."""
     from ..ops.pallas.swg import swg_rows
 
     head_k, head_b, flat = stage_params
@@ -133,15 +138,16 @@ def swg_field(stage_params, world_points, z, cam_dirs, img_grouped,
     pos = cam_points[..., :3].reshape(-1, 3)
     dirs = jnp.broadcast_to(cam_dirs[:, :, :, None, :],
                             (b, 1, r, s, 3)).reshape(-1, 3)
-    out, _ = swg_rows(img_grouped, w_pad, w_groups, w, h, coords, pos, dirs,
-                      head_k, head_b, flat, n_blocks, n_freq=n_freq, ka=ka,
-                      bq=bq, sg=sg, fast=fast, nsplit=nsplit,
-                      img_grouped_t=img_t, head_pad_t=head_pt, flat_t=flat_t,
-                      interpret=interpret)
+    out, overflowed = swg_rows(
+        img_grouped, w_pad, w_groups, w, h, coords, pos, dirs,
+        head_k, head_b, flat, n_blocks, n_freq=n_freq, ka=ka,
+        bq=bq, sg=sg, fast=fast, nsplit=nsplit,
+        img_grouped_t=img_t, head_pad_t=head_pt, flat_t=flat_t,
+        interpret=interpret)
     out = out.astype(jnp.float32).reshape(b, r, s, 4)
     chroma = jax.nn.sigmoid(out[..., :3])
     density = jax.nn.softplus(out[..., 3])
-    return chroma, density
+    return chroma, density, overflowed
 
 
 def swg_stage_params(params, stage: str, n_blocks: int, dtype):
@@ -211,6 +217,10 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     own 1024-row window) holds zero-overflow on realistic ray batches whose
     sorted key spans are sparse in places, while the chain still runs full
     [hidden, 512] MXU tiles (docs/perf_notes.md ray-geometry correction).
+
+    Returns (rgb, depth, fine_rgb, fine_depth, n_overflow) — n_overflow is
+    the int32 count of stages (0..2) that overflowed their sorted windows
+    and fell back to the slow exact path this chunk.
     """
     stage_c, stage_f, (h, w), w_pad, w_groups = prepared
     key_c, key_f = jax.random.split(key)
@@ -220,12 +230,12 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     cam_dirs = projection.world_to_camera_directions_mv(ray_d,
                                                         src_extrinsics_inv)
     params_c, grouped_c, prep_c = stage_c
-    chroma, density = swg_field(params_c, world_points, z, cam_dirs,
-                                grouped_c, w_pad, w_groups, (h, w),
-                                src_intrinsics, src_extrinsics_inv, n_blocks,
-                                ka=ka, bq=bq, sg=sg, fast=fast,
-                                nsplit=nsplit, interpret=interpret,
-                                stage_prep=prep_c)
+    chroma, density, of_c = swg_field(params_c, world_points, z, cam_dirs,
+                                      grouped_c, w_pad, w_groups, (h, w),
+                                      src_intrinsics, src_extrinsics_inv,
+                                      n_blocks, ka=ka, bq=bq, sg=sg,
+                                      fast=fast, nsplit=nsplit,
+                                      interpret=interpret, stage_prep=prep_c)
     rgb, depth, weights = render.volumetric_render(z, density, chroma)
 
     z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
@@ -236,14 +246,15 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     fine_points = (ray_o[:, :, None, :]
                    + all_z[..., None] * ray_d[:, :, None, :])
     params_f, grouped_f, prep_f = stage_f
-    fine_chroma, fine_density = swg_field(
+    fine_chroma, fine_density, of_f = swg_field(
         params_f, fine_points, all_z, cam_dirs, grouped_f, w_pad, w_groups,
         (h, w), src_intrinsics, src_extrinsics_inv, n_blocks, ka=ka, bq=bq,
         sg=sg, fast=fast, nsplit=nsplit, interpret=interpret,
         stage_prep=prep_f)
     fine_rgb, fine_depth, _ = render.volumetric_render(all_z, fine_density,
                                                        fine_chroma)
-    return rgb, depth, fine_rgb, fine_depth
+    n_overflow = of_c.astype(jnp.int32) + of_f.astype(jnp.int32)
+    return rgb, depth, fine_rgb, fine_depth, n_overflow
 
 
 def swg_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
@@ -253,9 +264,9 @@ def swg_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
                     bq: int = 512, nsplit: int = 1, fast: bool = True,
                     interpret: bool = False):
     """Hierarchical render with the sorted-window fused kernel (1-view
-    serving; parity with MVNeRFRenderer.render_rays semantics). Single-shot
-    convenience wrapper; chunk loops should call swg_prepare once and
-    swg_render_chunk per chunk."""
+    serving; parity with MVNeRFRenderer.render_rays semantics plus a
+    trailing n_overflow counter). Single-shot convenience wrapper; chunk
+    loops should call swg_prepare once and swg_render_chunk per chunk."""
     b, v = src_images.shape[:2]
     assert b == 1 and v == 1, "swg path is the 1-view serving configuration"
     prepared = swg_prepare(params, src_images, combined_features,

@@ -34,17 +34,20 @@ def categorical_crossentropy_logits(labels, logits):
     return -jnp.mean(jnp.sum(labels * log_p, axis=-1))
 
 
-def kl_divergence(labels, probs, eps: float = 1e-7):
-    """keras KLDivergence: sum(y_true * log(y_true / y_pred)), mean over batch.
+def kl_divergence(labels, probs, eps: float = 1e-7, reduction: str = "mean"):
+    """keras KLDivergence: sum(y_true * log(y_true / y_pred)) per sample.
 
     NOTE: train_goal's reference constructs KLDivergence(reduction=NONE) and
     lets TF implicitly SUM the per-sample vector through tape.gradient
     (train_goal.py:51, model.py:167-168) — a batch-size-dependent scale.
-    We use the mean (matching the delta/language trainers' default reduction);
-    equivalent up to a constant factor absorbed by the learning rate."""
+    The default here is the mean (matching the delta/language trainers'
+    reduction), equivalent up to a constant factor absorbed by the learning
+    rate; `reduction='sum'` reproduces the reference scale exactly for
+    strict-parity runs (config key grasp_training.loss_reduction)."""
     y_true = jnp.clip(labels, eps, 1.0)
     y_pred = jnp.clip(probs, eps, 1.0)
-    return jnp.mean(jnp.sum(y_true * jnp.log(y_true / y_pred), axis=-1))
+    per_sample = jnp.sum(y_true * jnp.log(y_true / y_pred), axis=-1)
+    return jnp.sum(per_sample) if reduction == "sum" else jnp.mean(per_sample)
 
 
 def cosine_similarity_loss(y_true, y_pred, eps: float = 1e-12):
@@ -54,11 +57,11 @@ def cosine_similarity_loss(y_true, y_pred, eps: float = 1e-12):
     return -jnp.mean(jnp.sum(t * p, axis=-1))
 
 
-def landscape_loss_fn(loss_name: str):
+def landscape_loss_fn(loss_name: str, reduction: str = "mean"):
     if loss_name == "cross_entropy":
         return categorical_crossentropy_logits, False
     if loss_name == "kl_divergence":
-        return kl_divergence, True
+        return functools.partial(kl_divergence, reduction=reduction), True
     raise ValueError(f"Loss {loss_name} not supported.")
 
 
@@ -88,13 +91,14 @@ def _merged(params, readout_params):
     return new
 
 
-@functools.partial(jax.jit, static_argnames=("loss_name",))
+@functools.partial(jax.jit, static_argnames=("loss_name", "loss_reduction"))
 def grasp_train_step(state: GraspTrainState, inputs, labels,
-                     loss_name: str = "cross_entropy"):
+                     loss_name: str = "cross_entropy",
+                     loss_reduction: str = "mean"):
     """Goal-conditioned EBM step. inputs = [poses, src_images, src_intrinsics,
     src_extrinsics_inv] (reference generator layout, grasp_mvnerf.py:57-63)."""
     poses, src_images, src_intr, src_ext = inputs
-    loss_fn_, softmax_before = landscape_loss_fn(loss_name)
+    loss_fn_, softmax_before = landscape_loss_fn(loss_name, loss_reduction)
 
     features = state.apply_fn({"params": state.params}, src_images,
                               method="encode")

@@ -81,16 +81,16 @@ def _render_all_rays_swg(params, src_images, src_intrinsics,
 
     def render_chunk(args):
         ro, rd, key = args
-        rgb, depth, fine_rgb, fine_depth = swg_render_chunk(
+        rgb, depth, fine_rgb, fine_depth, n_of = swg_render_chunk(
             prepared, ro, rd, src_intrinsics, src_extrinsics_inv, key,
             n_samples=n_samples, near=near, far=far, n_blocks=n_blocks)
-        return fine_rgb[0], fine_depth[0]
+        return fine_rgb[0], fine_depth[0], n_of
 
-    fine_rgb, fine_depth = jax.lax.map(render_chunk,
-                                       (chunks_o, chunks_d, keys))
+    fine_rgb, fine_depth, n_of = jax.lax.map(render_chunk,
+                                             (chunks_o, chunks_d, keys))
     fine_rgb = fine_rgb.reshape(-1, 3)[:n].reshape(height, width, 3)
     fine_depth = fine_depth.reshape(-1)[:n].reshape(height, width)
-    return fine_rgb, fine_depth
+    return fine_rgb, fine_depth, jnp.sum(n_of)
 
 
 def render_view(model, variables, src_colors, src_camera_configs,
@@ -111,7 +111,6 @@ def render_view(model, variables, src_colors, src_camera_configs,
     from ..data.generators import camera_parameters
 
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    chunk = 512 if chunk is None else chunk
     h, w = src_colors[0].shape[:2]
     src_images = np.array([c[..., :3] / 255.0 for c in src_colors],
                           dtype=np.float32)[None]  # [1, V, H, W, 3]
@@ -134,20 +133,35 @@ def render_view(model, variables, src_colors, src_camera_configs,
         np.reshape(tgt_camera_config["intrinsics"], (3, 3)), jnp.float32)
 
     if use_swg is None:
+        # The swg kernel hard-codes the flagship serving shape: 1 view,
+        # hidden 128, dir-encoded 120-wide pos/dir head (pd=120/n_freq=10),
+        # relu chain. Any renderer knob outside that set must take the
+        # general flax path or it would silently render wrong output.
         use_swg = (v == 1 and model.hidden_size == 128
+                   and model.embed_direction_vector
                    and jax.default_backend() != "cpu")
     if use_swg:
-        swg_chunk = 4096 if chunk == 512 else chunk
-        fine_rgb, fine_depth = _render_all_rays_swg(
+        # decide the swg default while `chunk` is still the caller's: None
+        # means "pick the path's optimum" (4096 amortizes the sorts); an
+        # explicit 512 must stay 512
+        swg_chunk = 4096 if chunk is None else chunk
+        fine_rgb, fine_depth, n_overflow = _render_all_rays_swg(
             variables["params"], jnp.asarray(src_images),
             jnp.asarray(src_intr), jnp.asarray(src_ext), combined, tgt_pose,
             tgt_intr3, rng, h, w, swg_chunk, model.n_samples, model.near,
             model.far, model.n_blocks)
+        n_overflow = int(n_overflow)
+        if n_overflow:
+            from ..utils.logging import logger
+            logger.warning(
+                f"render_view: {n_overflow} swg stage(s) overflowed their "
+                "sorted windows and took the ~3x slower exact fallback — "
+                "widen ka/sg for this geometry")
     else:
         fine_rgb, fine_depth = _render_all_rays(
             model.apply, variables, jnp.asarray(src_images),
             jnp.asarray(src_intr), jnp.asarray(src_ext), combined, tgt_pose,
-            tgt_intr3, rng, h, w, chunk)
+            tgt_intr3, rng, h, w, 512 if chunk is None else chunk)
 
     rgb = np.clip(np.asarray(fine_rgb) * 255, 0, 255).astype(np.uint8)
     depth = np.asarray(fine_depth)[..., None]

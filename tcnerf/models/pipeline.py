@@ -138,3 +138,52 @@ class GraspPipeline:
         return GraspResult(poses=[results[int(i)] for i in order],
                            scores=[float(energies[int(i)]) for i in order],
                            duration_s=duration, all_energies=energies)
+
+
+def _demo(model_dir: Optional[str] = None):  # pragma: no cover - CLI demo
+    """`python -m tcnerf.models.pipeline [model_dir]` — run the pipeline on a
+    synthetic scene (random-init params when no checkpoint dir is given)."""
+    import jax.numpy as jnp
+
+    from ..data.generators import camera_parameters
+    from ..data.synthetic import SyntheticScene, generate_views
+    from .grasp import GraspEBM
+
+    h, w = 48, 64
+    scene = SyntheticScene.random(0, n_spheres=2)
+    colors, configs = generate_views(scene, 2, height=h, width=w,
+                                     radius=1.0, polar=0.6)
+    images = np.asarray(colors[0][..., :3] / 255.0, np.float32)[None, None]
+    ext_inv, k4 = camera_parameters(configs[0])
+    intr = np.asarray(k4, np.float32)[None, None]
+    ext = np.asarray(ext_inv, np.float32)[None, None]
+
+    model = GraspEBM(n_views=1, n_features=32, original_image_size=(h, w),
+                     n_5d_poses=3, n_blocks=2, hidden_size=32,
+                     vit_size=(32, 32), vit_patch=16, vit_dim=32, vit_heads=2,
+                     vit_hooks=(1, 2, 3, 4))
+    workspace = ((0.3, 0.7), (-0.25, 0.25), (0.0, 0.3))
+    if model_dir:
+        pipe = GraspPipeline.from_checkpoints(model, model_dir, workspace,
+                                              n_initial_guesses=64,
+                                              n_optimization_steps=4)
+    else:
+        poses = jnp.tile(jnp.eye(4), (1, 2, 1, 1)).astype(jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), poses,
+                            jnp.asarray(images), jnp.asarray(intr),
+                            jnp.asarray(ext))["params"]
+        pipe = GraspPipeline(model=model, params=params,
+                             workspace_bounds=workspace,
+                             n_initial_guesses=64, n_optimization_steps=4)
+    result = pipe.infer(images, intr, ext, rng=0)
+    print(f"refined {len(result.all_energies)} guesses in "
+          f"{result.duration_s:.2f}s; top-{len(result.poses)}:")
+    for pose, score in zip(result.poses, result.scores):
+        t = np.round(pose.translation, 3)
+        print(f"  energy={score:+.4f} t={t} quat={np.round(pose.quat, 3)}")
+
+
+if __name__ == "__main__":
+    import sys
+
+    _demo(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -73,8 +73,11 @@ class MVNeRFRenderer(nn.Module):
     # reference-shaped 4-tap scattered gather (same math, reference
     # nerf_utils.py:277-285).
     corner_gather: bool = True
-    # inference-only fused Pallas MLP chains (no VJP — keep False for
-    # training; bench/serving opt in). See nn/mlp.py use_pallas.
+    # fused Pallas MLP chains (ops/pallas/resmlp.py). Differentiable — the
+    # backward remats through the jnp reference (resmlp_rows_diff), so
+    # training may enable it too; default False because the flax chain is
+    # backend-portable and the kernel's win is serving-shaped (see
+    # nn/mlp.py use_pallas and tests/test_kernels.py grad-parity tests).
     pallas_mlp: bool = False
     dtype: Optional[jnp.dtype] = None
 

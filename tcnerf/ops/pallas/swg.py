@@ -522,7 +522,12 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
                               embed_direction_vector).astype(dt)
         return (enc @ head + head_bias.astype(dt)).astype(dt)
 
-    use_transposed = fast and embed_direction_vector
+    # The transposed kernel carries pixel keys as f32 (Mosaic sublane dims
+    # must be multiples of 8, so they ride in the [16, BQ] pdt block): exact
+    # only while the largest key < 2^24. Larger images route to the row-major
+    # kernel whose keys stay int32 (same math, modestly slower head).
+    keys_exact_f32 = h_real * w_pad < 2 ** 24
+    use_transposed = fast and embed_direction_vector and keys_exact_f32
 
     def kernel_branch(_):
         if use_transposed:

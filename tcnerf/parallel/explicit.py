@@ -32,8 +32,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax >= 0.6 exposes shard_map at the top level
     shard_map = jax.shard_map
+    _NO_CHECK = {"check_vma": False}
 except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
+    _NO_CHECK = {"check_rep": False}  # the experimental API's older kwarg
 
 
 def nerf_in_specs():
@@ -80,7 +82,7 @@ def make_explicit_train_step(mesh: Mesh, loss_and_grad_local=None):
             mesh=mesh,
             in_specs=(P(), in_specs, label_spec, P()),
             out_specs=(P(), P()),
-            check_vma=False,
+            **_NO_CHECK,
         )
         loss, grads = sharded(state.params, inputs, labels, rng)
         new_state = state.apply_gradients(grads)
@@ -114,7 +116,7 @@ def make_explicit_ascent_step(mesh: Mesh, energy_fn):
             mesh=mesh,
             in_specs=(guess_spec, guess_spec, P()),
             out_specs=(guess_spec, guess_spec),
-            check_vma=False,
+            **_NO_CHECK,
         )(t, r, args)
 
     return grads

@@ -62,6 +62,9 @@ def main(cfg):
     valid_data = collect_valid_data(valid_dataset, cfg, model, state)
 
     loss_name = cfg.grasp_training.get("loss", "cross_entropy")
+    # 'sum' reproduces the reference's implicit TF sum-reduction of the KL
+    # vector (train_goal.py:51 + model.py:167-168) for strict-parity runs
+    loss_reduction = cfg.grasp_training.get("loss_reduction", "mean")
     nt = cfg.grasp_training
     os.makedirs(os.path.join(nt.model_path, "valid"), exist_ok=True)
     model_checkpoint_name = os.path.join(nt.model_path, "model_final")
@@ -72,7 +75,8 @@ def main(cfg):
         for inputs, labels in prefetched_epochs(data_generator,
                                                 e_epoch - i_epoch):
             state_box["state"], metrics = GT.grasp_train_step(
-                state_box["state"], inputs, labels, loss_name)
+                state_box["state"], inputs, labels, loss_name,
+                loss_reduction)
         pose_optimizer.params = state_box["state"].params
         logger.info(f"epoch {e_epoch}: loss {float(metrics['loss']):.5f}")
 

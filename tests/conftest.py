@@ -14,15 +14,24 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-# NOTE: under the axon TPU tunnel environment its sitecustomize (on
-# PYTHONPATH) overrides the forced CPU device count, so jax.devices() is 1
-# there and the multi-device tests skip (tests/test_parallel.py guards on
-# device count). Re-exec'ing pytest from conftest is NOT safe — pytest's
-# capture manager has already redirected the output fds, so the re-exec'd
-# run is silent. Run `python -m pytest` with the axon path stripped from
-# PYTHONPATH (or use `python __graft_entry__.py`) to exercise the 8-device
-# mesh locally; CI/driver harnesses without the sitecustomize get 8 devices
-# from the flags above automatically.
+# Under the axon TPU tunnel environment its sitecustomize (on PYTHONPATH)
+# pins the platform at interpreter start, so the JAX_PLATFORMS=cpu above does
+# NOT stick: a bare `pytest` silently compiles every test through the remote
+# TPU tunnel and appears to hang for many minutes. Re-exec'ing pytest from
+# conftest is NOT safe either — pytest's capture manager has already
+# redirected the output fds, so a re-exec'd run is silent. Fail fast with the
+# working command instead. Deliberate TPU test runs (the TPU-only kernel
+# parity tests) opt in via TCNERF_TPU_TESTS=1.
+_axon_paths = [p for p in sys.path if "axon" in p]
+if _axon_paths and os.environ.get("TCNERF_TPU_TESTS") != "1":
+    raise SystemExit(
+        "tests/conftest.py: the axon TPU sitecustomize is on PYTHONPATH "
+        f"({_axon_paths[0]}); it pins the TPU platform so the 8-device "
+        "virtual CPU mesh cannot be forced and the suite would compile "
+        "through the remote tunnel (minutes per test, no output).\n"
+        "Run instead:  PYTHONPATH= python -m pytest tests/ -q\n"
+        "Or, to run the TPU-only kernel tests on the real chip deliberately: "
+        "TCNERF_TPU_TESTS=1 python -m pytest tests/ -q")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

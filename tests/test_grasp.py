@@ -117,6 +117,31 @@ class TestGraspTraining:
         state, m = GT.grasp_train_step(state, inputs, labels, "kl_divergence")
         assert np.isfinite(float(m["loss"]))
 
+    def test_kl_sum_reduction_matches_reference_scale(self, grasp_setup):
+        """loss_reduction='sum' reproduces the reference's implicit TF sum
+        over the per-sample KL vector (train_goal.py:51 + model.py:167-168):
+        sum = batch_size x mean for a [B, N] batch."""
+        rng = np.random.default_rng(3)
+        b, n = 4, 16
+        labels = jax.nn.softmax(
+            jnp.asarray(rng.normal(size=(b, n)).astype(np.float32)))
+        probs = jax.nn.softmax(
+            jnp.asarray(rng.normal(size=(b, n)).astype(np.float32)))
+        mean = float(GT.kl_divergence(labels, probs))
+        total = float(GT.kl_divergence(labels, probs, reduction="sum"))
+        np.testing.assert_allclose(total, b * mean, rtol=1e-6)
+
+        # and the train step accepts the knob
+        model, params, _, _ = grasp_setup
+        inputs, step_labels = self._batch(grasp_setup)
+        state = GT.create_grasp_train_state(model, params)
+        _, m_mean = GT.grasp_train_step(state, inputs, step_labels,
+                                        "kl_divergence", "mean")
+        _, m_sum = GT.grasp_train_step(state, inputs, step_labels,
+                                       "kl_divergence", "sum")
+        np.testing.assert_allclose(float(m_sum["loss"]),
+                                   float(m_mean["loss"]), rtol=1e-5)
+
 
 class TestDeltaNGFTraining:
     def test_second_order_step(self, grasp_setup):

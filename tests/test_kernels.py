@@ -516,13 +516,17 @@ class TestSortedWindowGather:
         dirs = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
 
         grouped, w_pad, w_groups = prepare_image(img, ka=4)
-        out, ov = swg_rows(grouped, w_pad, w_groups, w, h, coords, pos, dirs,
-                           head_k, head_b, flat, n_blocks, ka=4, bq=512,
-                           fast=fast, interpret=True)
-        if label.startswith("dense"):
-            assert not bool(ov), "dense queries must not overflow the window"
-        ref = self._reference(img, head_k, head_b, flat, n_blocks, coords,
-                              pos, dirs)
+        # pin matmul precision: on a TPU backend interpret-mode matmuls run
+        # at the default bf16 precision and exceed the f32 tolerances
+        with jax.default_matmul_precision("highest"):
+            out, ov = swg_rows(grouped, w_pad, w_groups, w, h, coords, pos,
+                               dirs, head_k, head_b, flat, n_blocks, ka=4,
+                               bq=512, fast=fast, interpret=True)
+            if label.startswith("dense"):
+                assert not bool(ov), \
+                    "dense queries must not overflow the window"
+            ref = self._reference(img, head_k, head_b, flat, n_blocks,
+                                  coords, pos, dirs)
         scale = float(jnp.max(jnp.abs(ref)))
         tol = 2e-2 if fast else 1e-3   # fast = bf16 stream + recurrences
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -572,8 +576,10 @@ class TestSortedWindowGather:
                 return RenderReadout(4, name="ro")(emb)
 
         field = Field()
-        params = field.init(jax.random.PRNGKey(0), world, cam_dirs)["params"]
-        want_c, want_d = field.apply({"params": params}, world, cam_dirs)
+        with jax.default_matmul_precision("highest"):
+            params = field.init(jax.random.PRNGKey(0), world,
+                                cam_dirs)["params"]
+            want_c, want_d = field.apply({"params": params}, world, cam_dirs)
 
         from tcnerf.models.fused import flatten_mv_params
         pd = 120
@@ -581,14 +587,59 @@ class TestSortedWindowGather:
         b0 = params["mlp"]["layer_0"]["bias"]
         flat_w = tuple(flatten_mv_params(params["mlp"], n_blocks,
                                          params["ro"])[2:])
-        combined = jnp.concatenate([imgs, feats_img], axis=-1)[0, 0]
-        img_p = combined @ k0[pd:]
-        grouped, w_pad, w_groups = prepare_image(img_p, ka=4)
-        got_c, got_d = swg_field((k0[:pd], b0, flat_w), world, z, cam_dirs,
-                                 grouped, w_pad, w_groups, (16, 20), intr,
-                                 ext, n_blocks, ka=4, bq=64, fast=False,
-                                 interpret=True)
+        with jax.default_matmul_precision("highest"):
+            combined = jnp.concatenate([imgs, feats_img], axis=-1)[0, 0]
+            img_p = combined @ k0[pd:]
+            grouped, w_pad, w_groups = prepare_image(img_p, ka=4)
+            got_c, got_d, _ = swg_field(
+                (k0[:pd], b0, flat_w), world, z, cam_dirs, grouped, w_pad,
+                w_groups, (16, 20), intr, ext, n_blocks, ka=4, bq=64,
+                fast=False, interpret=True)
         np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
                                    rtol=2e-3, atol=2e-3)
+
+    def test_render_chunk_reports_overflow(self, rng):
+        """Overflow observability (swg_render_chunk's n_overflow counter): a
+        geometry whose sorted keys span more than the window must report the
+        fallback; widening the window to cover the whole image must not."""
+        from tcnerf.models.fused import swg_prepare, swg_render_chunk
+        from tcnerf.models.renderer import MVNeRFRenderer
+
+        h, w, n_rays, n_samples = 16, 20, 32, 8
+        model = MVNeRFRenderer(
+            n_views=1, n_samples=n_samples, n_features=8, near=0.3, far=1.3,
+            original_image_size=(h, w), fusion="without", n_blocks=2,
+            hidden_size=128)
+        src_images = jnp.asarray(
+            rng.uniform(size=(1, 1, h, w, 3)).astype(np.float32))
+        feats = jnp.asarray(
+            rng.normal(size=(1, 1, h, w, 8)).astype(np.float32))
+        k4 = np.eye(4, dtype=np.float32)
+        k4[:3, :3] = [[20, 0, 10], [0, 20, 8], [0, 0, 1]]
+        intr = jnp.asarray(k4)[None, None]
+        ext = jnp.eye(4)[None, None].astype(jnp.float32)
+        ray_o = jnp.zeros((1, n_rays, 3))
+        ray_d = jnp.asarray(
+            rng.normal(size=(1, n_rays, 3)).astype(np.float32))
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)},
+            ray_o, ray_d, src_images, intr, ext, feats,
+            method="render_rays")["params"]
+
+        prepared = swg_prepare(params, src_images, feats, n_blocks=2, ka=16)
+        # one 512-query block spanning the whole 16x128-row padded image
+        # overflows a 4-group (512-row) window ...
+        out = swg_render_chunk(prepared, ray_o, ray_d, intr, ext,
+                               jax.random.PRNGKey(2), n_samples=n_samples,
+                               n_blocks=2, ka=4, bq=512, sg=1,
+                               interpret=True)
+        assert int(out[4]) > 0
+        # ... and fits a 16-group (2048-row) window
+        out = swg_render_chunk(prepared, ray_o, ray_d, intr, ext,
+                               jax.random.PRNGKey(2), n_samples=n_samples,
+                               n_blocks=2, ka=16, bq=512, sg=1,
+                               interpret=True)
+        assert int(out[4]) == 0

@@ -66,7 +66,7 @@ def main():
         if level == 0:
             return world_points.astype(jnp.float32).sum() + cam_dirs.sum()
         params_c, grouped_c, prep_c = stage_c
-        chroma, density = swg_field(
+        chroma, density, _ = swg_field(
             params_c, world_points, z, cam_dirs, grouped_c, w_pad, w_groups,
             hw, src_intr, src_ext, n_blocks, ka=4, bq=512, stage_prep=prep_c)
         if level == 1:
@@ -81,7 +81,7 @@ def main():
         if level == 2:
             return rgb.sum() + fine_points.sum()
         params_f, grouped_f, prep_f = stage_f
-        fine_chroma, fine_density = swg_field(
+        fine_chroma, fine_density, _ = swg_field(
             params_f, fine_points, all_z, cam_dirs, grouped_f, w_pad,
             w_groups, hw, src_intr, src_ext, n_blocks, ka=4, bq=512,
             stage_prep=prep_f)

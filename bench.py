@@ -106,7 +106,12 @@ def main():
                     n_samples=64, near=0.3, far=1.3, n_blocks=6,
                     ka=int(os.environ.get("TCNERF_BENCH_KA", "6")),
                     bq=int(os.environ.get("TCNERF_BENCH_BQ", "1024")),
-                    sg=int(os.environ.get("TCNERF_BENCH_SG", "8")))
+                    sg=int(os.environ.get("TCNERF_BENCH_SG", "8")),
+                    ka_c=int(os.environ.get("TCNERF_BENCH_KA_C", "12")),
+                    sg_c=int(os.environ.get("TCNERF_BENCH_SG_C", "8")),
+                    msplit=int(os.environ.get("TCNERF_BENCH_MSPLIT", "1")),
+                    patch_cap=int(os.environ.get("TCNERF_BENCH_PATCH_CAP",
+                                                 "8192")))
                 return carry + jnp.sum(out[2].astype(jnp.float32)), out[4]
 
             acc, n_of = jax.lax.scan(chunk, jnp.zeros(()), keys)
@@ -162,6 +167,10 @@ def main():
         train_b8_ms = round(bench_train_step(batch=8), 2)
         dngf_ms = round(bench_dngf_step(batch=8), 2)
 
+    rays_3view = None
+    if os.environ.get("TCNERF_BENCH_3VIEW", "1") != "0":
+        rays_3view = round(bench_3view(), 1)
+
     print(json.dumps({
         "metric": ("rays/sec/chip (sorted-window fused hierarchical render, "
                    "64+128 samples)" if path == "swg" else
@@ -177,7 +186,79 @@ def main():
         "train_step_ms_b1": train_ms,
         "train_step_ms_b8": train_b8_ms,
         "dngf_train_step_ms_b8": dngf_ms,
+        "rays_per_sec_3view": rays_3view,
     }))
+
+
+def bench_3view(n_rays: int = 4096, n_chunks: int = 8, iters: int = 3):
+    """3-view hierarchical render throughput (rays/s) — the reference's
+    nerf_3_view serving shape (src/configs/nerf_3_view.yaml), features
+    precomputed, corner-gather + fused Pallas MLP chains.
+
+    Measured design note (docs/perf_notes.md round 3): the sorted-window
+    kernel does NOT extend profitably to multi-view — each view needs its
+    own sort order (spans under a shared order cover the whole image:
+    p99 367k keys vs 691 for the owning view), and re-aligning three
+    independently-sorted 128-wide streams for the mid-chain mean fusion
+    costs full-width row gathers (~12 ns/row) >= the scattered gathers the
+    windows would save. The TPU-right 3-view path is therefore the
+    pre-projected corner-row gather (one row per query per view) feeding
+    VMEM-resident Pallas chains — benched here."""
+    from tcnerf.core.rays import get_specific_rays
+    from tcnerf.data.synthetic import camera_ring
+    from tcnerf.models.renderer import MVNeRFRenderer
+
+    h, w, v = 480, 640, 3
+    model = MVNeRFRenderer(
+        n_views=v, n_samples=64, n_features=256, near=0.3, far=1.3,
+        original_image_size=(h, w), fusion="without", n_blocks=6,
+        hidden_size=128, pallas_mlp=True, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(4)
+    cams = camera_ring(v + 1, height=h, width=w)
+    srcs, tgt = cams[:v], cams[v]
+    k4s, exts = [], []
+    for c in srcs:
+        k4 = np.eye(4, dtype=np.float32)
+        k4[:3, :3] = c["intrinsics"].reshape(3, 3)
+        k4s.append(k4)
+        exts.append(np.linalg.inv(c["pose"]).astype(np.float32))
+    pix_x = rng.uniform(0, w - 1, n_rays).astype(np.float32)
+    pix_y = rng.uniform(0, h - 1, n_rays).astype(np.float32)
+    ro, rd = get_specific_rays(pix_x, pix_y, tgt["pose"],
+                               tgt["intrinsics"].reshape(3, 3))
+    ray_o = jnp.asarray(ro[None].astype(np.float32))
+    ray_d = jnp.asarray(rd[None].astype(np.float32))
+    src_images = jnp.asarray(rng.uniform(size=(1, v, h, w, 3)), jnp.float32)
+    src_intr = jnp.asarray(np.stack(k4s)[None])
+    src_ext = jnp.asarray(np.stack(exts)[None])
+    features = jnp.asarray(rng.normal(size=(1, v, h, w, 256)), jnp.bfloat16)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        ray_o, ray_d, src_images, src_intr, src_ext, features,
+        method="render_rays")
+    params = variables["params"]
+
+    @jax.jit
+    def render_many(params, keys):
+        def chunk(carry, key):
+            out = model.apply({"params": params}, ray_o, ray_d, src_images,
+                              src_intr, src_ext, features,
+                              rngs={"sampling": key}, method="render_rays")
+            return carry + jnp.sum(out[2].astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(chunk, jnp.zeros(()),
+                              jax.random.split(keys, n_chunks))
+        return acc
+
+    _ = float(render_many(params, jax.random.PRNGKey(2)))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = render_many(params, jax.random.PRNGKey(2))
+    _ = float(out)
+    dt = time.perf_counter() - t0
+    return iters * n_chunks * n_rays / dt
 
 
 def bench_train_step(batch: int, iters: int = 3, scan_len: int = 4,

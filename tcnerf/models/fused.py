@@ -114,18 +114,22 @@ def fused_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
 def swg_field(stage_params, world_points, z, cam_dirs, img_grouped,
               w_pad: int, w_groups: int, image_hw, src_intrinsics,
               src_extrinsics_inv, n_blocks: int, n_freq: int = 10,
-              ka: int = 6, bq: int = 512, sg: int = 1, fast: bool = True,
-              nsplit: int = 1, interpret: bool = False, stage_prep=None):
+              ka: int = 6, bq: int = 512, sg: int = 1,
+              msplit: int = 1, patch_cap: int = 8192,
+              fast: bool = True, nsplit: int = 1,
+              interpret: bool = False, stage_prep=None):
     """Field evaluation via the sorted-window fused gather+MLP kernel
     (ops/pallas/swg.py; 1-view serving). stage_params = (head_k, head_b,
     flat_block_and_readout_weights); stage_prep optionally carries the
     precomputed transposed artifacts (img_grouped_t, head_pad_t, flat_t)
     from swg_prepare so chunk loops do not rebuild them.
 
-    Returns (chroma, density, overflowed) — `overflowed` is True when any
-    query block's sorted span exceeded its window and the whole call took
-    the exact-but-slower XLA fallback; callers should surface it (the
-    fallback is a silent ~3x throughput regression otherwise)."""
+    Returns (chroma, density, overflowed) — up to patch_cap queries from
+    overflowing sorted subgroups are repaired exactly in-place (block-level
+    patch, swg_rows docstring); `overflowed` is True only when MORE than
+    patch_cap queries overflowed and the whole call took the exact-but-
+    slower XLA fallback; callers should surface it (the fallback is a
+    silent ~3x throughput regression otherwise)."""
     from ..ops.pallas.swg import swg_rows
 
     head_k, head_b, flat = stage_params
@@ -141,7 +145,8 @@ def swg_field(stage_params, world_points, z, cam_dirs, img_grouped,
     out, overflowed = swg_rows(
         img_grouped, w_pad, w_groups, w, h, coords, pos, dirs,
         head_k, head_b, flat, n_blocks, n_freq=n_freq, ka=ka,
-        bq=bq, sg=sg, fast=fast, nsplit=nsplit,
+        bq=bq, sg=sg, msplit=msplit, patch_cap=patch_cap,
+        fast=fast, nsplit=nsplit,
         img_grouped_t=img_t, head_pad_t=head_pt, flat_t=flat_t,
         interpret=interpret)
     out = out.astype(jnp.float32).reshape(b, r, s, 4)
@@ -209,6 +214,8 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
                      src_extrinsics_inv, key, n_samples: int = 64,
                      near: float = 0.3, far: float = 1.3, n_blocks: int = 6,
                      ka: int = 8, bq: int = 512, sg: int = 4,
+                     ka_c: Optional[int] = None, sg_c: Optional[int] = None,
+                     msplit: int = 1, patch_cap: int = 8192,
                      nsplit: int = 1, fast: bool = True,
                      interpret: bool = False):
     """One hierarchical render chunk against swg_prepare artifacts.
@@ -221,8 +228,16 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     Returns (rgb, depth, fine_rgb, fine_depth, n_overflow) — n_overflow is
     the int32 count of stages (0..2) that overflowed their sorted windows
     and fell back to the slow exact path this chunk.
+
+    ka_c widens the COARSE stage's windows independently (default 2*ka,
+    capped at 16): the coarse stage has half the fine stage's query density
+    over the same image, so its sorted subgroup spans are ~2x wider — equal
+    windows silently push every coarse stage onto the fallback (found by the
+    overflow counter on the round-2 bench geometry).
     """
     stage_c, stage_f, (h, w), w_pad, w_groups = prepared
+    ka_c = min(2 * ka, 16) if ka_c is None else ka_c
+    sg_c = sg if sg_c is None else sg_c
     key_c, key_f = jax.random.split(key)
 
     world_points, z = sampling.sample_along_ray(key_c, ray_o, ray_d, near,
@@ -233,9 +248,11 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     chroma, density, of_c = swg_field(params_c, world_points, z, cam_dirs,
                                       grouped_c, w_pad, w_groups, (h, w),
                                       src_intrinsics, src_extrinsics_inv,
-                                      n_blocks, ka=ka, bq=bq, sg=sg,
+                                      n_blocks, ka=ka_c, bq=bq, sg=sg_c,
+                                      msplit=msplit, patch_cap=patch_cap,
                                       fast=fast, nsplit=nsplit,
-                                      interpret=interpret, stage_prep=prep_c)
+                                      interpret=interpret,
+                                      stage_prep=prep_c)
     rgb, depth, weights = render.volumetric_render(z, density, chroma)
 
     z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
@@ -249,8 +266,8 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     fine_chroma, fine_density, of_f = swg_field(
         params_f, fine_points, all_z, cam_dirs, grouped_f, w_pad, w_groups,
         (h, w), src_intrinsics, src_extrinsics_inv, n_blocks, ka=ka, bq=bq,
-        sg=sg, fast=fast, nsplit=nsplit, interpret=interpret,
-        stage_prep=prep_f)
+        sg=sg, msplit=msplit, patch_cap=patch_cap, fast=fast, nsplit=nsplit,
+        interpret=interpret, stage_prep=prep_f)
     fine_rgb, fine_depth, _ = render.volumetric_render(all_z, fine_density,
                                                        fine_chroma)
     n_overflow = of_c.astype(jnp.int32) + of_f.astype(jnp.int32)

@@ -85,15 +85,15 @@ def _swg_kernel(n_blocks: int, readout: bool, activation: str, ka: int,
     ay = frac_ref[:, 1:2]
     ids = jax.lax.broadcasted_iota(jnp.int32, (bq, win), 1).astype(jnp.float32)
     center = l_i.astype(jnp.float32) + ax
-    tri = jnp.maximum(0.0, 1.0 - jnp.abs(ids - center))  # (1-ax)@l, ax@l+1
-    ohA = (tri * (1.0 - ay)).astype(imgA[0].dtype)      # [BQ, win] bf16
-    ohB = (tri * ay).astype(imgA[0].dtype)
+    # (1-ax)@l, ax@l+1; the ay-lerp runs on the [BQ, 128] matmul outputs
+    # (see _swg_kernel_t) — one shared triangle feeds both window matmuls
+    tri = jnp.maximum(0.0, 1.0 - jnp.abs(ids - center)).astype(imgA[0].dtype)
 
     winA = jnp.concatenate([r[0] for r in imgA], axis=0)  # [win, 128]
     winB = jnp.concatenate([r[0] for r in imgB], axis=0)
-    h0 = (jnp.dot(ohA, winA, preferred_element_type=jnp.float32)
-          + jnp.dot(ohB, winB, preferred_element_type=jnp.float32)
-          + g_ref[:].astype(jnp.float32))
+    gA = jnp.dot(tri, winA, preferred_element_type=jnp.float32)
+    gB = jnp.dot(tri, winB, preferred_element_type=jnp.float32)
+    h0 = gA + (gB - gA) * ay + g_ref[:].astype(jnp.float32)
 
     sub = bq // nsplit
     # slice h0 into sub-tiles (h0 is a value, not a ref -> static lax slices)
@@ -107,32 +107,42 @@ def _swg_kernel(n_blocks: int, readout: bool, activation: str, ka: int,
 
 
 def _chain_math_t(h, weights, idx, n_blocks: int, readout: bool,
-                  activation: str):
+                  activation: str, msplit: int = 1):
     """Transposed residual chain: h is [hidden, BQ]; weights are the
-    PRE-TRANSPOSED kernels W^T [out, in] with biases reshaped [out, 1]."""
+    PRE-TRANSPOSED kernels W^T [out, in] with biases reshaped [out, 1].
+
+    msplit > 1 splits the query columns into independent slices and
+    interleaves their layer ops: a K=N=128 serial chain leaves the MXU
+    ~1/3 idle on pipeline fill between dependent matmuls; back-to-back
+    INDEPENDENT matmuls on the slices let the scheduler hide the fill."""
     act = jax.nn.relu if activation == "relu" else jax.nn.elu
 
     def mm(r, wt, b):
         out = jnp.dot(wt[:], r, preferred_element_type=jnp.float32) + b[:]
         return out.astype(wt.dtype)
 
+    bqs = h.shape[1] // msplit
+    hs = [jax.lax.slice_in_dim(h, k * bqs, (k + 1) * bqs, axis=1)
+          for k in range(msplit)]
     for _ in range(n_blocks):
         wa, ba = weights[idx], weights[idx + 1]
         wb, bb = weights[idx + 2], weights[idx + 3]
         idx += 4
-        r = act(h)
-        r = mm(r, wa, ba)
-        r = act(r)
-        r = mm(r, wb, bb)
-        h = h + r
+        rs = [act(x) for x in hs]
+        rs = [mm(r, wa, ba) for r in rs]
+        rs = [act(r) for r in rs]
+        rs = [mm(r, wb, bb) for r in rs]
+        hs = [x + r for x, r in zip(hs, rs)]
     if readout:
         wr, br = weights[idx], weights[idx + 1]
-        return mm(jax.nn.relu(h), wr, br)
-    return h
+        outs = [mm(jax.nn.relu(x), wr, br) for x in hs]
+    else:
+        outs = hs
+    return outs[0] if msplit == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
-                  sg: int, n_freq: int, base_freq: float,
+                  sg: int, n_freq: int, base_freq: float, msplit: int,
                   s_ref, pdt_ref, *refs):
     """Fully transposed sorted-window kernel with the geometry head inside.
 
@@ -184,9 +194,17 @@ def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
         h0_geo = jnp.dot(head_t[:], enc[:].astype(head_t.dtype),
                          preferred_element_type=jnp.float32)
 
-        # ---- triangle one-hot gather (transposed), one window/subgroup
+        # ---- triangle one-hot gather (transposed), one window/subgroup.
+        # The ay-lerp runs on the [hidden, sub] matmul OUTPUTS, not the
+        # [win, sub] one-hots: one shared bf16 triangle feeds both window
+        # matmuls, cutting the dominant VPU cost (2 muls + 1 cast on
+        # win x sub) to 2 cheap ops on hidden x sub — and the lerp happens
+        # in f32 after the MXU, which is slightly MORE accurate than
+        # rounding tri*(1-ay) to bf16 before it.
         sub = bq // sg
         dt = wins[0].dtype
+        ids = jax.lax.broadcasted_iota(jnp.int32, (win, sub), 0).astype(
+            jnp.float32)
         h0_parts = []
         for j in range(sg):
             cols = pl.ds(j * sub, sub)
@@ -194,22 +212,19 @@ def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
             l_f = pdt_ref[8:9, cols] - base_j
             ax = pdt_ref[6:7, cols]
             ay = pdt_ref[7:8, cols]
-            ids = jax.lax.broadcasted_iota(jnp.int32, (win, sub), 0).astype(
-                jnp.float32)
-            tri = jnp.maximum(0.0, 1.0 - jnp.abs(ids - (l_f + ax)))
-            ohA = (tri * (1.0 - ay)).astype(dt)
-            ohB = (tri * ay).astype(dt)
+            tri = jnp.maximum(0.0, 1.0 - jnp.abs(ids - (l_f + ax))).astype(dt)
             winA = jnp.concatenate(
                 [wins[j * 2 * ka + k][0] for k in range(ka)], axis=1)
             winB = jnp.concatenate(
                 [wins[j * 2 * ka + ka + k][0] for k in range(ka)], axis=1)
-            h0_parts.append(
-                jnp.dot(winA, ohA, preferred_element_type=jnp.float32)
-                + jnp.dot(winB, ohB, preferred_element_type=jnp.float32))
+            gA = jnp.dot(winA, tri, preferred_element_type=jnp.float32)
+            gB = jnp.dot(winB, tri, preferred_element_type=jnp.float32)
+            h0_parts.append(gA + (gB - gA) * ay)
         h0 = jnp.concatenate(h0_parts, axis=1) + h0_geo + head_b[:]
         h = h0.astype(dt)
 
-        out = _chain_math_t(h, weights, 0, n_blocks, readout, activation)
+        out = _chain_math_t(h, weights, 0, n_blocks, readout, activation,
+                            msplit)
         out_ref[:] = out.astype(out_ref.dtype)
 
     pl.run_scoped(body, enc=pltpu.VMEM((LANE, pdt_ref.shape[1]),
@@ -218,13 +233,13 @@ def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "w_groups", "n_blocks", "n_freq", "base_freq", "readout", "activation",
-    "ka", "bq", "sg", "interpret"))
+    "ka", "bq", "sg", "msplit", "interpret"))
 def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
                      head_pad_t, head_bias, flat_weights_t: Tuple,
                      w_groups: int, n_blocks: int, n_freq: int = 10,
                      base_freq: float = float(np.pi), readout: bool = True,
                      activation: str = "relu", ka: int = 4, bq: int = 512,
-                     sg: int = 1, interpret: bool = False):
+                     sg: int = 1, msplit: int = 1, interpret: bool = False):
     """Transposed fused kernel over pre-sorted queries.
 
     posdir_t: [16, N] f32 (pos, dir, ax, ay, keys-as-f32, zero pad);
@@ -265,7 +280,7 @@ def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
                                      memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_swg_kernel_t, n_blocks, readout, activation,
-                               ka, sg, n_freq, base_freq)
+                               ka, sg, n_freq, base_freq, msplit)
     head_b2 = head_bias.reshape(hidden, 1)
     return pl.pallas_call(
         kernel,
@@ -385,6 +400,33 @@ def swg_gather_mlp(s_blocks, keys_sorted, frac_sorted, h0_geo_sorted,
       *([img_grouped] * (2 * ka)), *flat_weights)
 
 
+def fast_encode_head(p, d, head_kernel, head_bias, n_freq: int,
+                     base_freq: float, dt,
+                     embed_direction_vector: bool = True):
+    """Geometry-head output via double-angle-recurrence Fourier octaves and a
+    row-permuted head kernel (enc @ W is invariant under a shared row
+    permutation, so the reference's (d, n, [sin, cos]) interleave is never
+    materialized). Shared by swg_rows' XLA fallback and the grouped path."""
+    def octaves(x):
+        xb = x * jnp.asarray(base_freq, x.dtype)
+        s = jnp.sin(xb)
+        c = jnp.cos(xb)
+        sins, coss = [s], [c]
+        for _ in range(n_freq - 1):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            sins.append(s)
+            coss.append(c)
+        return sins + coss
+
+    dim = p.shape[-1]
+    parts = octaves(p)
+    parts += octaves(d) if embed_direction_vector else [d]
+    enc = jnp.concatenate([q.astype(dt) for q in parts], axis=-1)
+    head = _permuted_head(head_kernel, dim, n_freq,
+                          embed_direction_vector).astype(dt)
+    return (enc @ head + head_bias.astype(dt)).astype(dt)
+
+
 def _permuted_head(head_kernel, dim: int, n_freq: int,
                    embed_direction_vector: bool):
     """Reorder head-kernel rows from the reference (d, n, [sin, cos])
@@ -434,8 +476,9 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
              flat_weights: Tuple, n_blocks: int, n_freq: int = 10,
              pos_encoding_freq: float = float(np.pi),
              embed_direction_vector: bool = True, ka: int = 4, bq: int = 512,
-             sg: int = 1, fast: bool = True, nsplit: int = 1,
-             fast_encoding: bool = True,
+             sg: int = 1, msplit: int = 1, patch_cap: int = 8192,
+             fast: bool = True,
+             nsplit: int = 1, fast_encoding: bool = True,
              img_grouped_t=None, head_pad_t=None, flat_t=None,
              interpret: bool = False):
     """Full sorted-window pipeline over flat queries (1 view, 1 batch).
@@ -444,9 +487,12 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
     (clamp semantics identical to ops.interpolate.bilinear_gather);
     positions/directions: [N, 3]; head_kernel/bias: SliceableDense head
     (rows [:pd] of layer_0 + bias). Returns (out [N, out_dim] in original
-    order, overflowed: bool scalar — when True the caller must use the
-    fallback path; this function's outputs are then garbage for the
-    overflowed blocks only).
+    order, overflowed: bool scalar — True only when MORE than patch_cap
+    queries sat in overflowing subgroups and the whole call took the exact
+    XLA fallback; up to patch_cap overflowed queries are repaired exactly
+    in-place (block-level patch) with the kernel path still taken.
+    patch_cap=0 restores the strict whole-call-fallback-on-any-overflow
+    behavior.
     """
     from ...core.encoding import (positional_encoding,
                                   positional_encoding_fast)
@@ -483,7 +529,17 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
     # per-(sub)block span check: the largest local index (+1 for the x+1
     # corner) must stay inside the ka*128 window
     span = keys_s[sub - 1::sub] - s_blocks * LANE
-    overflowed = jnp.any(span > ka * LANE - 2)
+    over_sub = span > ka * LANE - 2
+    n_over_q = jnp.sum(over_sub.astype(jnp.int32)) * sub
+    # Block-level repair (patch_cap > 0): the kernel still runs — an
+    # overflowing subgroup's out-of-window queries read all-zero triangle
+    # rows (finite garbage) — and up to patch_cap of its queries are then
+    # recomputed exactly through the XLA 4-tap path and scattered back in.
+    # The whole-call fallback only triggers beyond the patch capacity, so
+    # narrow windows (small ka) stay safe on geometries with rare sparse
+    # subgroups instead of cliffing the entire call to the slow exact path.
+    overflowed = (n_over_q > patch_cap) if patch_cap > 0 \
+        else jnp.any(over_sub)
 
     pos_s = jnp.stack([px, py, pz], axis=-1)
     dir_s = jnp.stack([dx, dy, dz], axis=-1)
@@ -551,7 +607,7 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
                 s_blocks, pdt, img_t, head_pt,
                 head_bias.astype(jnp.float32), ft, w_groups, n_blocks,
                 n_freq=n_freq, base_freq=pos_encoding_freq, readout=True,
-                ka=ka, bq=bq, sg=sg, interpret=interpret)
+                ka=ka, bq=bq, sg=sg, msplit=msplit, interpret=interpret)
             out_s = jnp.transpose(out_t)
         else:
             h0_geo = encode(pos_s, dir_s)
@@ -560,6 +616,28 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
                 h0_geo, img_grouped, flat_weights, w_groups, n_blocks,
                 readout=True, ka=ka, bq=bq, fast=fast, nsplit=nsplit,
                 interpret=interpret)
+        if patch_cap > 0:
+            from .resmlp import resmlp_rows
+            from ...ops.interpolate import bilinear_gather
+
+            qflag = jnp.repeat(over_sub, sub)              # [n_pad], sorted
+            idx = jnp.nonzero(qflag, size=patch_cap, fill_value=0)[0]
+            valid = qflag[idx]
+            xk = (keys_s % w_pad).astype(ax_s.dtype) + ax_s
+            yk = (keys_s // w_pad).astype(ay_s.dtype) + ay_s
+            n_groups = h_real * w_pad // LANE
+            img = img_grouped[:n_groups].reshape(h_real, w_pad,
+                                                 img_grouped.shape[-1])
+            feats = bilinear_gather(
+                img[None], jnp.stack([xk[idx], yk[idx]], axis=-1)[None])[0]
+            h0 = (encode(pos_s[idx], dir_s[idx])
+                  + feats.astype(dt)).astype(dt)
+            out_p = resmlp_rows(h0, flat_weights, n_blocks, readout=True,
+                                tile=min(patch_cap, 1024), skip_input=True,
+                                fast=fast, interpret=interpret)
+            out_s = out_s.at[idx].set(
+                jnp.where(valid[:, None], out_p.astype(out_s.dtype),
+                          out_s[idx]))
         # un-permute the narrow outputs with a second sort (cheaper than a
         # scattered row gather at this row count — tools/bench_gather4.py)
         cols = [out_s[:, j] for j in range(out_s.shape[1])]

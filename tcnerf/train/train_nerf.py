@@ -78,6 +78,8 @@ def run_validation(model, variables, valid_data, out_path, rng):
 
 
 def train_model(model, state, data_generator, cfg, valid_data, rng):
+    import time
+
     nt = cfg.nerf_training
     start_epoch, progress_file = init_training_session(nt.model_path)
     n_fits = nt.n_epochs // nt.eval_after_epochs
@@ -86,10 +88,21 @@ def train_model(model, state, data_generator, cfg, valid_data, rng):
     model_checkpoint_name = os.path.join(nt.model_path, "model_final")
     components = (ckpt.RENDERER_WITHOUT_COMPONENTS
                   if model.fusion == "without" else ckpt.RENDERER_COMPONENTS)
+    # persistent loss/PSNR curve (append-mode: survives resume) — the
+    # convergence evidence artifact (docs/convergence.md)
+    metrics_file = os.path.join(nt.model_path, "metrics.jsonl")
+
+    def log_metrics(epoch, loss, psnr_db):
+        with open(metrics_file, "a") as f:
+            json.dump({"epoch": epoch, "loss": loss, "psnr_db": psnr_db,
+                       "t": time.time()}, f)
+            f.write("\n")
 
     if start_epoch == 0:
-        run_validation(model, {"params": state.params}, valid_data,
-                       os.path.join(nt.model_path, "valid", "valid-0.png"), rng)
+        value = run_validation(
+            model, {"params": state.params}, valid_data,
+            os.path.join(nt.model_path, "valid", "valid-0.png"), rng)
+        log_metrics(0, None, value)
 
     # TCNERF_TRACE=<logdir> captures a jax.profiler trace of the first fit
     # round (utils/profiling.py; viewable in TensorBoard/Perfetto)
@@ -109,9 +122,10 @@ def train_model(model, state, data_generator, cfg, valid_data, rng):
                                                    step_key)
         logger.info(f"epoch {e_epoch}: loss {float(metrics['loss']):.5f}")
 
-        run_validation(model, {"params": state.params}, valid_data,
-                       os.path.join(nt.model_path, "valid",
-                                    f"valid-{e_epoch}.png"), rng)
+        value = run_validation(model, {"params": state.params}, valid_data,
+                               os.path.join(nt.model_path, "valid",
+                                            f"valid-{e_epoch}.png"), rng)
+        log_metrics(e_epoch, float(metrics["loss"]), value)
         with open(progress_file, "w") as f:
             json.dump({"epoch": e_epoch}, f)
         ckpt.store(model_checkpoint_name, state.params, components)

@@ -600,6 +600,50 @@ class TestSortedWindowGather:
         np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
                                    rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_swg_rows_patch_repair(self, rng, fast):
+        """Block-level overflow repair (swg_rows patch_cap): a geometry where
+        a few sorted subgroups overflow their windows must still take the
+        kernel path (overflowed=False), with the overflowed queries repaired
+        exactly — matching the plain XLA 4-tap gather + chain. patch_cap=0
+        must restore the strict whole-call fallback (overflowed=True)."""
+        from tcnerf.ops.pallas.swg import prepare_image, swg_rows
+
+        h, w, n_blocks = 16, 250, 2
+        img, head_k, head_b, flat = self._setup(rng, h, w, n_blocks)
+        # 3968 queries dense in image rows [0, 4) (narrow sorted spans) +
+        # 128 scattered over the whole image: the scattered ones sort into
+        # the tail subgroups whose spans blow past the ka=4 window
+        n_dense, n_sparse = 3968, 128
+        xs = np.concatenate([rng.uniform(0, w - 1, n_dense),
+                             rng.uniform(0, w - 1, n_sparse)])
+        ys = np.concatenate([rng.uniform(0, 3.0, n_dense),
+                             rng.uniform(4.0, h - 1, n_sparse)])
+        n = n_dense + n_sparse
+        coords = jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
+        pos = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        dirs = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+        grouped, w_pad, w_groups = prepare_image(img, ka=4)
+        with jax.default_matmul_precision("highest"):
+            out, ov = swg_rows(grouped, w_pad, w_groups, w, h, coords, pos,
+                               dirs, head_k, head_b, flat, n_blocks, ka=4,
+                               bq=512, sg=4 if fast else 1, fast=fast,
+                               patch_cap=1024, interpret=True)
+            assert not bool(ov), "patch repair must absorb the overflow"
+            _, ov_strict = swg_rows(grouped, w_pad, w_groups, w, h, coords,
+                                    pos, dirs, head_k, head_b, flat,
+                                    n_blocks, ka=4, bq=512,
+                                    sg=4 if fast else 1, fast=fast,
+                                    patch_cap=0, interpret=True)
+            assert bool(ov_strict), "strict mode must report the overflow"
+            ref = self._reference(img, head_k, head_b, flat, n_blocks,
+                                  coords, pos, dirs)
+        scale = float(jnp.max(jnp.abs(ref)))
+        tol = 2e-2 if fast else 1e-3
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=tol * scale, rtol=tol)
+
     def test_render_chunk_reports_overflow(self, rng):
         """Overflow observability (swg_render_chunk's n_overflow counter): a
         geometry whose sorted keys span more than the window must report the
@@ -631,10 +675,11 @@ class TestSortedWindowGather:
 
         prepared = swg_prepare(params, src_images, feats, n_blocks=2, ka=16)
         # one 512-query block spanning the whole 16x128-row padded image
-        # overflows a 4-group (512-row) window ...
+        # overflows a 4-group (512-row) window (patch_cap=0: strict
+        # whole-call fallback reporting, no block-level repair) ...
         out = swg_render_chunk(prepared, ray_o, ray_d, intr, ext,
                                jax.random.PRNGKey(2), n_samples=n_samples,
-                               n_blocks=2, ka=4, bq=512, sg=1,
+                               n_blocks=2, ka=4, bq=512, sg=1, patch_cap=0,
                                interpret=True)
         assert int(out[4]) > 0
         # ... and fits a 16-group (2048-row) window

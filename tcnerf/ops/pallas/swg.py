@@ -620,24 +620,44 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
             from .resmlp import resmlp_rows
             from ...ops.interpolate import bilinear_gather
 
-            qflag = jnp.repeat(over_sub, sub)              # [n_pad], sorted
-            idx = jnp.nonzero(qflag, size=patch_cap, fill_value=0)[0]
-            valid = qflag[idx]
-            xk = (keys_s % w_pad).astype(ax_s.dtype) + ax_s
-            yk = (keys_s // w_pad).astype(ay_s.dtype) + ay_s
-            n_groups = h_real * w_pad // LANE
-            img = img_grouped[:n_groups].reshape(h_real, w_pad,
-                                                 img_grouped.shape[-1])
-            feats = bilinear_gather(
-                img[None], jnp.stack([xk[idx], yk[idx]], axis=-1)[None])[0]
-            h0 = (encode(pos_s[idx], dir_s[idx])
-                  + feats.astype(dt)).astype(dt)
-            out_p = resmlp_rows(h0, flat_weights, n_blocks, readout=True,
-                                tile=min(patch_cap, 1024), skip_input=True,
-                                fast=fast, interpret=interpret)
-            out_s = out_s.at[idx].set(
-                jnp.where(valid[:, None], out_p.astype(out_s.dtype),
-                          out_s[idx]))
+            def do_patch(out_s):
+                # overflow is a per-SUBGROUP property, so select at subgroup
+                # granularity: nonzero over the [n_pad/sub] flags (a few k
+                # elements) instead of a per-query flag vector — a
+                # 524k-element nonzero lowers to a full-length cumsum+scatter
+                # and cost more than the repair itself (measured: bench
+                # 256k -> 170k rays/s)
+                cap_sub = max(patch_cap // sub, 1)
+                sub_idx = jnp.nonzero(over_sub, size=cap_sub,
+                                      fill_value=0)[0]
+                valid_sub = over_sub[sub_idx]
+                idx = (sub_idx[:, None] * sub
+                       + jnp.arange(sub, dtype=sub_idx.dtype)[None, :]
+                       ).reshape(-1)                # [cap_sub * sub]
+                valid = jnp.repeat(valid_sub, sub)
+                xk = (keys_s % w_pad).astype(ax_s.dtype) + ax_s
+                yk = (keys_s // w_pad).astype(ay_s.dtype) + ay_s
+                n_groups = h_real * w_pad // LANE
+                img = img_grouped[:n_groups].reshape(h_real, w_pad,
+                                                     img_grouped.shape[-1])
+                feats = bilinear_gather(
+                    img[None],
+                    jnp.stack([xk[idx], yk[idx]], axis=-1)[None])[0]
+                h0 = (encode(pos_s[idx], dir_s[idx])
+                      + feats.astype(dt)).astype(dt)
+                out_p = resmlp_rows(h0, flat_weights, n_blocks,
+                                    readout=True,
+                                    tile=min(patch_cap, 1024),
+                                    skip_input=True, fast=fast,
+                                    interpret=interpret)
+                return out_s.at[idx].set(
+                    jnp.where(valid[:, None], out_p.astype(out_s.dtype),
+                              out_s[idx]))
+
+            # most calls have ZERO overflowing subgroups (raster render
+            # chunks, wide-window stages) — skip the repair entirely then
+            out_s = jax.lax.cond(n_over_q > 0, do_patch,
+                                 lambda o: o, out_s)
         # un-permute the narrow outputs with a second sort (cheaper than a
         # scattered row gather at this row count — tools/bench_gather4.py)
         cols = [out_s[:, j] for j in range(out_s.shape[1])]

@@ -30,15 +30,26 @@ K = 8
 def main():
     h, w, n_rays, n_samples, n_blocks = 480, 640, 4096, 64, 6
     rng = np.random.default_rng(0)
+    from tcnerf.core.rays import get_specific_rays
     from tcnerf.data.synthetic import camera_ring
-    cfg = camera_ring(1, height=h, width=w)[0]
+    cfg, tgt = camera_ring(2, height=h, width=w)[:2]
     k4 = np.eye(4, dtype=np.float32)
     k4[:3, :3] = cfg["intrinsics"].reshape(3, 3)
     ext_inv = np.linalg.inv(cfg["pose"]).astype(np.float32)
-    ray_d = rng.normal(size=(1, n_rays, 3)).astype(np.float32)
-    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
-    ray_o = np.broadcast_to(cfg["pose"][:3, 3].astype(np.float32),
-                            ray_d.shape).copy()
+    # the bench's honest geometry: rays through real target pixels
+    pix_x = rng.uniform(0, w - 1, n_rays).astype(np.float32)
+    pix_y = rng.uniform(0, h - 1, n_rays).astype(np.float32)
+    ro, rd = get_specific_rays(pix_x, pix_y, tgt["pose"],
+                               tgt["intrinsics"].reshape(3, 3))
+    ray_o = ro[None].astype(np.float32)
+    ray_d = rd[None].astype(np.float32)
+    KA = int(os.environ.get("SWG_KA", "4"))
+    KA_C = int(os.environ.get("SWG_KA_C", "12"))
+    BQ = int(os.environ.get("SWG_BQ", "1024"))
+    SG = int(os.environ.get("SWG_SG", "8"))
+    SG_C = int(os.environ.get("SWG_SG_C", "8"))
+    MSPLIT = int(os.environ.get("SWG_MSPLIT", "4"))
+    PCAP = int(os.environ.get("SWG_PATCH_CAP", "8192"))
     src_images = rng.uniform(size=(1, 1, h, w, 3)).astype(np.float32)
     src_intr = jnp.asarray(np.broadcast_to(k4, (1, 1, 4, 4)).copy())
     src_ext = jnp.asarray(np.broadcast_to(ext_inv, (1, 1, 4, 4)).copy())
@@ -68,7 +79,8 @@ def main():
         params_c, grouped_c, prep_c = stage_c
         chroma, density, _ = swg_field(
             params_c, world_points, z, cam_dirs, grouped_c, w_pad, w_groups,
-            hw, src_intr, src_ext, n_blocks, ka=4, bq=512, stage_prep=prep_c)
+            hw, src_intr, src_ext, n_blocks, ka=KA_C, bq=BQ, sg=SG_C,
+            msplit=MSPLIT, patch_cap=PCAP, stage_prep=prep_c)
         if level == 1:
             return chroma.sum() + density.sum()
         rgb, depth, weights = render.volumetric_render(z, density, chroma)
@@ -83,8 +95,8 @@ def main():
         params_f, grouped_f, prep_f = stage_f
         fine_chroma, fine_density, _ = swg_field(
             params_f, fine_points, all_z, cam_dirs, grouped_f, w_pad,
-            w_groups, hw, src_intr, src_ext, n_blocks, ka=4, bq=512,
-            stage_prep=prep_f)
+            w_groups, hw, src_intr, src_ext, n_blocks, ka=KA, bq=BQ, sg=SG,
+            msplit=MSPLIT, patch_cap=PCAP, stage_prep=prep_f)
         fine_rgb, fine_depth, _ = render.volumetric_render(
             all_z, fine_density, fine_chroma)
         return fine_rgb.sum()

@@ -170,17 +170,24 @@ def swg_stage_params(params, stage: str, n_blocks: int, dtype):
 
 
 def swg_prepare(params, src_images, combined_features, n_blocks: int = 6,
-                pd: int = 120, ka: int = 6, fast: bool = True):
+                pd: int = 120, ka: int = 6, fast: bool = True, dtype=None):
     """Precompute every chunk-invariant artifact for the swg render path.
 
     Returns an opaque tuple consumed by swg_render_chunk. Doing this ONCE
     outside the chunk scan matters: the pre-projected/transposed images and
     permuted weights live inside a lax.cond branch in the chunk body, where
-    XLA's loop-invariant hoisting cannot reach them."""
+    XLA's loop-invariant hoisting cannot reach them.
+
+    dtype overrides the stream dtype (default: combined_features'). Serving
+    paths should pass bfloat16 even for f32 models: the window blocks DMA'd
+    into VMEM halve, which is what keeps wide coarse windows (ka_c=12,
+    sg_c=8) inside the 16M scoped-vmem limit — the f32 render_view config
+    hit the cliff at 16.06M."""
     from ..ops.pallas.swg import (head_pad_transposed, prepare_image,
                                   transpose_chain_weights)
 
-    dtype = combined_features.dtype
+    dtype = combined_features.dtype if dtype is None else dtype
+    combined_features = combined_features.astype(dtype)
     head_ck, head_cb, flat_c = swg_stage_params(params, "coarse", n_blocks,
                                                 dtype)
     head_fk, head_fb, flat_f = swg_stage_params(params, "fine", n_blocks,

@@ -76,14 +76,21 @@ def _render_all_rays_swg(params, src_images, src_intrinsics,
     chunks_o = flat_o.reshape(n_chunks, 1, chunk, 3)
     chunks_d = flat_d.reshape(n_chunks, 1, chunk, 3)
     keys = jax.random.split(rng, n_chunks)
+    # serving runs bf16 regardless of the model dtype (output is uint8; the
+    # parity tests bound the bf16 stream at 2e-2) — f32 window blocks blow
+    # the 16M scoped-vmem limit at the tuned window geometry
     prepared = swg_prepare(params, src_images, combined_features,
-                           n_blocks=n_blocks)
+                           n_blocks=n_blocks, ka=4, dtype=jnp.bfloat16)
 
     def render_chunk(args):
         ro, rd, key = args
+        # tuned round-3 knobs (docs/perf_notes.md): narrow fine windows with
+        # block-level patch repair, wider coarse windows, 4 interleaved
+        # chain streams
         rgb, depth, fine_rgb, fine_depth, n_of = swg_render_chunk(
             prepared, ro, rd, src_intrinsics, src_extrinsics_inv, key,
-            n_samples=n_samples, near=near, far=far, n_blocks=n_blocks)
+            n_samples=n_samples, near=near, far=far, n_blocks=n_blocks,
+            ka=4, bq=1024, sg=8, ka_c=12, sg_c=8, msplit=4, patch_cap=8192)
         return fine_rgb[0], fine_depth[0], n_of
 
     fine_rgb, fine_depth, n_of = jax.lax.map(render_chunk,
@@ -142,9 +149,10 @@ def render_view(model, variables, src_colors, src_camera_configs,
                    and jax.default_backend() != "cpu")
     if use_swg:
         # decide the swg default while `chunk` is still the caller's: None
-        # means "pick the path's optimum" (4096 amortizes the sorts); an
-        # explicit 512 must stay 512
-        swg_chunk = 4096 if chunk is None else chunk
+        # means "pick the path's optimum" (8192 amortizes the sorts and the
+        # per-dispatch floor — docs/perf_notes.md round 3); an explicit 512
+        # must stay 512
+        swg_chunk = 8192 if chunk is None else chunk
         fine_rgb, fine_depth, n_overflow = _render_all_rays_swg(
             variables["params"], jnp.asarray(src_images),
             jnp.asarray(src_intr), jnp.asarray(src_ext), combined, tgt_pose,

@@ -29,12 +29,15 @@ def main():
     from tcnerf.models.renderer import MVNeRFRenderer
 
     h, w = 480, 640
+    # TCNERF_RV_DTYPE=float32 reproduces the training-validation condition
+    # (f32 model + features; swg_prepare downcasts the stream to bf16)
+    feat_dtype = jnp.dtype(os.environ.get("TCNERF_RV_DTYPE", "bfloat16"))
     rng = np.random.default_rng(0)
     cfgs = camera_ring(2, height=h, width=w)
     model = MVNeRFRenderer(
         n_views=1, n_samples=64, n_features=256, near=0.3, far=1.3,
         original_image_size=(h, w), fusion="without", n_blocks=6,
-        hidden_size=128, dtype=jnp.bfloat16)
+        hidden_size=128, dtype=feat_dtype)
 
     src_images = jnp.asarray(
         rng.uniform(size=(1, 1, h, w, 3)).astype(np.float32))
@@ -44,7 +47,7 @@ def main():
     src_ext = jnp.asarray(np.linalg.inv(cfgs[0]["pose"]).astype(
         np.float32))[None, None]
     features = jnp.asarray(
-        rng.normal(size=(1, 1, h, w, 256)).astype(np.float32), jnp.bfloat16)
+        rng.normal(size=(1, 1, h, w, 256)).astype(np.float32), feat_dtype)
 
     ray_o = jnp.zeros((1, 16, 3))
     ray_d = jnp.ones((1, 16, 3))
@@ -56,10 +59,12 @@ def main():
     tgt_pose = jnp.asarray(cfgs[1]["pose"], jnp.float32)
     tgt_intr3 = jnp.asarray(cfgs[1]["intrinsics"].reshape(3, 3), jnp.float32)
 
+    chunk = int(os.environ.get("TCNERF_RV_CHUNK", "8192"))
+
     def run(key):
-        rgb, depth = _render_all_rays_swg(
+        rgb, depth, n_of = _render_all_rays_swg(
             variables["params"], src_images, src_intr, src_ext, features,
-            tgt_pose, tgt_intr3, key, h, w, 4096, 64, 0.3, 1.3, 6)
+            tgt_pose, tgt_intr3, key, h, w, chunk, 64, 0.3, 1.3, 6)
         return rgb
 
     out = run(jax.random.PRNGKey(0))

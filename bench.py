@@ -34,7 +34,7 @@ def main():
 
     h, w = 480, 640
     n_views = 1
-    n_rays = int(os.environ.get("TCNERF_BENCH_RAYS", "4096"))
+    n_rays = int(os.environ.get("TCNERF_BENCH_RAYS", "8192"))
     model = MVNeRFRenderer(
         n_views=n_views, n_samples=64, n_features=256, near=0.3, far=1.3,
         original_image_size=(h, w), fusion="without", n_blocks=6,
@@ -79,7 +79,7 @@ def main():
         inputs[0], inputs[1], src_images_b, inputs[3], inputs[4], features,
         method="render_rays")
 
-    n_chunks = int(os.environ.get("TCNERF_BENCH_CHUNKS", "16"))
+    n_chunks = int(os.environ.get("TCNERF_BENCH_CHUNKS", "8"))
     # rays per dispatch = n_chunks * n_rays (amortizes the host->device
     # dispatch latency of the tunneled chip)
     path = os.environ.get("TCNERF_BENCH_PATH", "swg")
@@ -96,20 +96,21 @@ def main():
                                    n_blocks=6, ka=4)
 
             def chunk(carry, key):
-                # sg=4 subgroup windows: random-pixel ray batches project
-                # with sparse regions whose sorted spans exceed one 512-query
-                # window; four per-128-query 1024-row windows (ka=8) have
-                # zero overflow on this geometry while the chain still runs
-                # full [128, 512] MXU tiles (window params are per-call knobs)
+                # tuned round-3 window geometry (docs/perf_notes.md):
+                # 8192-ray chunks amortize per-call fixed costs; ka=4 fine
+                # windows + msplit=4 independent chain streams with the
+                # block-level patch repairing the ~tens of sparse subgroups
+                # that overflow 512-row windows; ka_c=12 coarse (half the
+                # query density -> double the sorted spans)
                 out = swg_render_chunk(
                     prepared, ray_o, ray_d, inputs[3], inputs[4], key,
                     n_samples=64, near=0.3, far=1.3, n_blocks=6,
-                    ka=int(os.environ.get("TCNERF_BENCH_KA", "6")),
+                    ka=int(os.environ.get("TCNERF_BENCH_KA", "4")),
                     bq=int(os.environ.get("TCNERF_BENCH_BQ", "1024")),
                     sg=int(os.environ.get("TCNERF_BENCH_SG", "8")),
                     ka_c=int(os.environ.get("TCNERF_BENCH_KA_C", "12")),
                     sg_c=int(os.environ.get("TCNERF_BENCH_SG_C", "8")),
-                    msplit=int(os.environ.get("TCNERF_BENCH_MSPLIT", "1")),
+                    msplit=int(os.environ.get("TCNERF_BENCH_MSPLIT", "4")),
                     patch_cap=int(os.environ.get("TCNERF_BENCH_PATCH_CAP",
                                                  "8192")))
                 return carry + jnp.sum(out[2].astype(jnp.float32)), out[4]
@@ -275,10 +276,13 @@ def bench_train_step(batch: int, iters: int = 3, scan_len: int = 4,
     from tcnerf.models.renderer import MVNeRFRenderer
 
     h, w = 480, 640
+    # mirror the training entry point's model construction
+    # (train_nerf.build_model): remat + scattered gather — full-scale
+    # fwd+bwd at batch 8 does not fit HBM without them
     model = MVNeRFRenderer(
         n_views=1, n_samples=64, n_features=256, near=0.3, far=1.3,
         original_image_size=(h, w), fusion="without", n_blocks=6,
-        hidden_size=128,
+        hidden_size=128, corner_gather=False, remat=True,
         pallas_mlp=os.environ.get("TCNERF_BENCH_TRAIN_PALLAS", "0") == "1")
 
     rng = np.random.default_rng(2)

@@ -79,9 +79,23 @@ class MVNeRFRenderer(nn.Module):
     # backend-portable and the kernel's win is serving-shaped (see
     # nn/mlp.py use_pallas and tests/test_kernels.py grad-parity tests).
     pallas_mlp: bool = False
+    # rematerialize (jax.checkpoint) the per-sample MLP chains and the
+    # ViT+DPT encoder in the backward pass. REQUIRED for full-scale training:
+    # without it one fwd+bwd step at the reference shape (batch 8 x 512 rays
+    # x 192 samples, 480x640 sources) stores ~5 GB of chain activations plus
+    # the encoder pyramid and exhausts v5e HBM. Costs one extra forward of
+    # the rematted segments; param tree is unchanged (lifted transform).
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
+        emb_cls = MVResNetMLPEmbedding
+        vf_cls = VisualFeatures
+        if self.remat:
+            # static_argnums counts `self` as 0: features_projected (a python
+            # bool branching the layer_0 application) is arg 4
+            emb_cls = nn.remat(MVResNetMLPEmbedding, static_argnums=(4,))
+            vf_cls = nn.remat(VisualFeatures)
         kw = dict(n_blocks=self.n_blocks, hidden_size=self.hidden_size,
                   n_views=self.n_views,
                   embed_direction_vector=self.embed_direction_vector,
@@ -89,11 +103,11 @@ class MVNeRFRenderer(nn.Module):
                                     else None),
                   use_pallas=self.pallas_mlp,
                   dtype=self.dtype)
-        self.coarse_embedding = MVResNetMLPEmbedding(**kw)
+        self.coarse_embedding = emb_cls(**kw)
         self.coarse_readout = RenderReadout(4, dtype=self.dtype)
-        self.fine_embedding = MVResNetMLPEmbedding(**kw)
+        self.fine_embedding = emb_cls(**kw)
         self.fine_readout = RenderReadout(4, dtype=self.dtype)
-        self.visual_features = VisualFeatures(
+        self.visual_features = vf_cls(
             n_features=self.n_features, original_image_size=self.original_image_size,
             vit_size=self.vit_size, patch_size=self.vit_patch, embed_dim=self.vit_dim,
             num_heads=self.vit_heads, hooks=self.vit_hooks, dtype=self.dtype)
@@ -212,8 +226,9 @@ class MVNeRFRenderer(nn.Module):
         dirs = jnp.broadcast_to(cam_dirs[:, :, :, None, :], (b, v, r, s, 3))
 
         flat = lambda x: x.reshape((b * v, r, s, x.shape[-1]))
+        # features_projected positionally: it is a remat static arg (setup)
         emb = embedding(flat(cam_points[..., :3]), flat(dirs), flat(feats),
-                        features_projected=corner_img is not None)
+                        corner_img is not None)
         chroma, density = readout(emb)  # [B, R, S, 3], [B, R, S]
         return chroma, density
 

@@ -89,15 +89,63 @@ def mse(a, b):
     return jnp.mean(jnp.square(a - b))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def nerf_train_step(state: TrainState, inputs, labels, rng):
-    """One optimization step: loss = MSE(coarse) + MSE(fine) (+ aux fusion loss)."""
+@functools.partial(jax.jit, static_argnames=("ray_chunk",))
+def nerf_train_step(state: TrainState, inputs, labels, rng,
+                    ray_chunk: Optional[int] = None):
+    """One optimization step: loss = MSE(coarse) + MSE(fine) (+ aux fusion loss).
 
-    def loss_fn(params):
-        rgb, depth, fine_rgb, fine_depth, aux = state.apply_fn(
-            {"params": params}, inputs, rngs={"sampling": rng})
-        loss = mse(labels, rgb) + mse(labels, fine_rgb) + aux
-        return loss, (rgb, fine_rgb)
+    ray_chunk: gradient-checkpoint granularity over the ray axis. The
+    full-scale fwd+bwd (batch 8 x 512 rays x 192 samples, 480x640 sources,
+    reference nerf_training/default.yaml) stores ~5 GB of per-sample chain
+    activations if the whole ray batch backpropagates as one segment — v5e
+    HBM exhausts even with the module-level remat flags. Here the encoder
+    runs ONCE, then the render scans over ray chunks with a rematerialized
+    body, so the backward holds one chunk's activations at a time. None
+    auto-chunks at 128 rays when the batch is large enough; the loss is
+    identical (mean of equal-chunk means == global mean).
+    """
+    ray_o, ray_d, src_images, src_intr, src_ext = inputs
+    b, r = ray_o.shape[:2]
+    v = src_images.shape[1]
+    # auto-chunk on TOTAL rays: the saved-activation budget scales with b*r
+    # (measured: b1 x 512 rays fits unchunked and runs ~20% faster that way;
+    # b8 x 512 exhausts HBM unchunked)
+    if ray_chunk is None and b * r >= 2048 and r % 128 == 0:
+        ray_chunk = 128
+
+    if not ray_chunk or r <= ray_chunk or r % ray_chunk != 0:
+        def loss_fn(params):
+            rgb, depth, fine_rgb, fine_depth, aux = state.apply_fn(
+                {"params": params}, inputs, rngs={"sampling": rng})
+            loss = mse(labels, rgb) + mse(labels, fine_rgb) + aux
+            return loss, (rgb, fine_rgb)
+    else:
+        n_chunks = r // ray_chunk
+
+        def loss_fn(params):
+            flat_images = src_images.reshape((b * v,) + src_images.shape[2:])
+            combined, aux = state.apply_fn({"params": params}, flat_images,
+                                           method="combine_features")
+            combined = combined.reshape((b, v) + combined.shape[1:])
+
+            def chunk_axes(x):  # [B, R, ...] -> [n_chunks, B, ray_chunk, ...]
+                return x.reshape((b, n_chunks, ray_chunk) + x.shape[2:]
+                                 ).swapaxes(0, 1)
+
+            def body(carry, xs):
+                ro, rd, lab, key = xs
+                rgb, _, fine_rgb, _ = state.apply_fn(
+                    {"params": params}, ro, rd, src_images, src_intr,
+                    src_ext, combined, rngs={"sampling": key},
+                    method="render_rays")
+                return carry + mse(lab, rgb) + mse(lab, fine_rgb), None
+
+            xs = (chunk_axes(ray_o), chunk_axes(ray_d), chunk_axes(labels),
+                  jax.random.split(rng, n_chunks))
+            # prevent_cse=False: safe + faster under scan (jax.checkpoint docs)
+            total, _ = jax.lax.scan(
+                jax.checkpoint(body, prevent_cse=False), jnp.zeros(()), xs)
+            return total / n_chunks + aux, ()
 
     (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     new_state = state.apply_gradients(grads)

@@ -49,6 +49,15 @@ def build_model(cfg, fusion=None):
         clip_width=nm.get("clip_width", 64),
         clip_embed_dim=nm.get("clip_embed_dim", 1024),
         clip_image_size=nm.get("clip_image_size", 224),
+        # training defaults (overridable via nerf_model.*): remat the MLP
+        # chains + encoder so full-scale fwd+bwd fits HBM, and keep the
+        # reference-shaped scattered gather — the corner-gather serving
+        # optimization materializes a [B, H, W, 4*hidden] corner image PER
+        # STAGE (~10 GB at batch 8 f32), which only pays off at
+        # serving-scale ray counts (param tree is identical either way)
+        corner_gather=nm.get("corner_gather", False),
+        remat=nm.get("remat", True),
+        pallas_mlp=nm.get("pallas_mlp", False),
     )
 
 

@@ -158,19 +158,28 @@ def main():
     useful_tflops = rays_per_sec * 192 * flop_per_sample / 1e12
     chain_ceiling_tflops = 74.0
 
-    clip_ips = None
-    if os.environ.get("TCNERF_BENCH_CLIP", "1") != "0":
-        clip_ips = round(bench_clip(), 1)
+    def optional(env, label, thunk):
+        """Secondary metrics must never take down the headline JSON line —
+        report null (and log to stderr) if a phase fails."""
+        if os.environ.get(env, "1") == "0":
+            return None
+        try:
+            return thunk()
+        except Exception as e:  # noqa: BLE001 — deliberate isolation
+            import sys
+            print(f"bench: {label} failed: {e!r}", file=sys.stderr)
+            return None
 
-    train_ms = train_b8_ms = dngf_ms = None
-    if os.environ.get("TCNERF_BENCH_TRAIN", "1") != "0":
-        train_ms = round(bench_train_step(batch=1), 2)
-        train_b8_ms = round(bench_train_step(batch=8), 2)
-        dngf_ms = round(bench_dngf_step(batch=8), 2)
-
-    rays_3view = None
-    if os.environ.get("TCNERF_BENCH_3VIEW", "1") != "0":
-        rays_3view = round(bench_3view(), 1)
+    clip_ips = optional("TCNERF_BENCH_CLIP", "clip",
+                        lambda: round(bench_clip(), 1))
+    train_ms = optional("TCNERF_BENCH_TRAIN", "train_b1",
+                        lambda: round(bench_train_step(batch=1), 2))
+    train_b8_ms = optional("TCNERF_BENCH_TRAIN", "train_b8",
+                           lambda: round(bench_train_step(batch=8), 2))
+    dngf_ms = optional("TCNERF_BENCH_TRAIN", "dngf_b8",
+                       lambda: round(bench_dngf_step(batch=8), 2))
+    rays_3view = optional("TCNERF_BENCH_3VIEW", "3view",
+                          lambda: round(bench_3view(), 1))
 
     print(json.dumps({
         "metric": ("rays/sec/chip (sorted-window fused hierarchical render, "

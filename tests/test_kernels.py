@@ -688,3 +688,54 @@ class TestSortedWindowGather:
                                n_blocks=2, ka=16, bq=512, sg=1,
                                interpret=True)
         assert int(out[4]) == 0
+
+    def test_render_chunk_bf16_prepare_matches_f32(self, rng):
+        """Serving downcast (models/inference.py): for f32 models the swg
+        path prepares in bf16 (f32 window blocks exceed the scoped-vmem
+        limit at the tuned geometry). The bf16-prepared chunk render must
+        track the f32-prepared render within bf16-stream tolerance — this
+        is exactly the training-validation configuration (render_view on an
+        f32 training model)."""
+        from tcnerf.models.fused import swg_prepare, swg_render_chunk
+        from tcnerf.models.renderer import MVNeRFRenderer
+
+        h, w, n_rays, n_samples = 16, 20, 16, 8
+        model = MVNeRFRenderer(
+            n_views=1, n_samples=n_samples, n_features=8, near=0.3, far=1.3,
+            original_image_size=(h, w), fusion="without", n_blocks=2,
+            hidden_size=128)
+        src_images = jnp.asarray(
+            rng.uniform(size=(1, 1, h, w, 3)).astype(np.float32))
+        feats = jnp.asarray(
+            rng.normal(size=(1, 1, h, w, 8)).astype(np.float32))  # f32 model
+        k4 = np.eye(4, dtype=np.float32)
+        k4[:3, :3] = [[20, 0, 10], [0, 20, 8], [0, 0, 1]]
+        intr = jnp.asarray(k4)[None, None]
+        ext = jnp.eye(4)[None, None].astype(jnp.float32)
+        # rays through real pixels so samples project inside the image
+        tgt = jnp.asarray([[0.5, 0.4, -0.8]], jnp.float32)
+        ray_o = jnp.tile(tgt[None], (1, n_rays, 1))
+        px = rng.uniform(2, w - 3, n_rays).astype(np.float32)
+        py = rng.uniform(2, h - 3, n_rays).astype(np.float32)
+        d = np.stack([(px - 10) / 20, (py - 8) / 20, np.ones(n_rays)], -1)
+        ray_d = jnp.asarray(d[None].astype(np.float32))
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)},
+            ray_o, ray_d, src_images, intr, ext, feats,
+            method="render_rays")["params"]
+
+        kw = dict(n_samples=n_samples, n_blocks=2, ka=16, bq=512, sg=1,
+                  interpret=True)
+        key = jax.random.PRNGKey(3)
+        with jax.default_matmul_precision("highest"):
+            p32 = swg_prepare(params, src_images, feats, n_blocks=2, ka=16)
+            ref = swg_render_chunk(p32, ray_o, ray_d, intr, ext, key, **kw)
+            p16 = swg_prepare(params, src_images, feats, n_blocks=2, ka=16,
+                              dtype=jnp.bfloat16)
+            got = swg_render_chunk(p16, ray_o, ray_d, intr, ext, key, **kw)
+        assert int(got[4]) == 0 and int(ref[4]) == 0
+        for a, b in zip(got[:4], ref[:4]):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=3e-2, atol=2e-2)

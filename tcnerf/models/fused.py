@@ -14,6 +14,8 @@ kernel is forward-only).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 

@@ -166,3 +166,58 @@ class TestExplicitShardMap:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
                                    rtol=1e-5, atol=1e-6)
+
+
+@requires_mesh
+class TestShardedServing:
+    def test_sharded_render_matches_one_device(self):
+        """render_image_sharded (parallel/serve.py): the full-image render
+        with ray chunks sharded over an 8-device mesh must match the same
+        program on a 1-device mesh — device count must not change the
+        image (same per-chunk keys by construction)."""
+        from tcnerf.data.synthetic import SyntheticScene, generate_views
+        from tcnerf.data.generators import camera_parameters
+        from tcnerf.models.renderer import MVNeRFRenderer
+        from tcnerf.parallel.mesh import make_mesh
+        from tcnerf.parallel.serve import render_image_sharded
+
+        h, w = 32, 40
+        scene = SyntheticScene.random(2, n_spheres=2)
+        colors, configs = generate_views(scene, 3, height=h, width=w,
+                                         radius=1.0, polar=0.6)
+        model = MVNeRFRenderer(
+            n_views=1, n_samples=8, n_features=32, near=0.3, far=1.6,
+            original_image_size=(h, w), fusion="without", n_blocks=2,
+            hidden_size=32, vit_size=(32, 32), vit_patch=16, vit_dim=32,
+            vit_heads=2, vit_hooks=(1, 2, 3, 4))
+        ext_inv, k4 = camera_parameters(configs[0])
+        src_images = jnp.asarray(
+            colors[0][..., :3] / 255.0, jnp.float32)[None, None]
+        intr = jnp.asarray(k4, jnp.float32)[None, None]
+        ext = jnp.asarray(ext_inv, jnp.float32)[None, None]
+        ray_o = jnp.zeros((1, 8, 3))
+        ray_d = jnp.ones((1, 8, 3))
+        feats = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 1, h, w, 32)),
+            jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)},
+            ray_o, ray_d, src_images, intr, ext, feats,
+            method="render_rays")
+        tgt_pose = jnp.asarray(configs[1]["pose"], jnp.float32)
+        tgt_intr3 = jnp.asarray(configs[1]["intrinsics"].reshape(3, 3),
+                                jnp.float32)
+
+        def run(mesh):
+            return render_image_sharded(
+                mesh, model.apply, variables, src_images, intr, ext, feats,
+                tgt_pose, tgt_intr3, jax.random.PRNGKey(5), h, w, chunk=128)
+
+        rgb8, depth8 = run(make_mesh(8, data_axis=2))
+        rgb1, depth1 = run(make_mesh(1))
+        assert rgb8.shape == (h, w, 3) and depth8.shape == (h, w)
+        np.testing.assert_allclose(np.asarray(rgb8), np.asarray(rgb1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(depth8), np.asarray(depth1),
+                                   rtol=1e-5, atol=1e-6)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import pickle
+from collections import OrderedDict
 from typing import Dict, Optional
 
 import numpy as np
@@ -120,17 +121,40 @@ class MNPZDataset:
 
 
 class ColorDataset(NPZDataset):
-    """Posed RGB(A) captures: per sample an [n_perspectives, H, W, 4] array."""
+    """Posed RGB(A) captures: per sample an [n_perspectives, H, W, 4] array.
+
+    Samples are RAM-cached after first read (LRU, byte-budgeted via
+    $TCNERF_DATASET_CACHE_MB, default 512): profiling the full-scale
+    training feed showed zlib decompression of these files was 73% of the
+    ~1 s batch-synthesis cost on this 1-core host — 3-10x the train step
+    itself, i.e. the accelerator would idle on data. Write_sample also
+    stores uncompressed (np.load reads either format, so pre-existing
+    compressed datasets keep working)."""
 
     def __init__(self, directory: str, n_perspectives: Optional[int] = None):
         super().__init__(directory)
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._cache_budget = int(os.environ.get(
+            "TCNERF_DATASET_CACHE_MB", "512")) * 2 ** 20
+        self._cache_bytes = 0
         if n_perspectives is None and len(self) > 0:
             n_perspectives = self.read_sample(0).shape[0]
         self.n_perspectives = n_perspectives
 
     def read_sample(self, idx: int):
+        cached = self._cache.get(idx)
+        if cached is not None:
+            self._cache.move_to_end(idx)
+            return cached
         with np.load(_sample_file(self.directory, idx, "npz")) as z:
-            return z["colors"]
+            colors = z["colors"]
+        if colors.nbytes <= self._cache_budget:
+            self._cache[idx] = colors
+            self._cache_bytes += colors.nbytes
+            while self._cache_bytes > self._cache_budget:
+                _, old = self._cache.popitem(last=False)
+                self._cache_bytes -= old.nbytes
+        return colors
 
     def read_sample_at_idx(self, idx: int, perspective: int):
         return self.read_sample(idx)[perspective]
@@ -138,7 +162,7 @@ class ColorDataset(NPZDataset):
     @staticmethod
     def write_sample(directory: str, idx: int, colors: np.ndarray) -> None:
         os.makedirs(directory, exist_ok=True)
-        np.savez_compressed(_sample_file(directory, idx, "npz"), colors=colors)
+        np.savez(_sample_file(directory, idx, "npz"), colors=colors)
 
 
 class SynchronizedDatasets:

@@ -92,10 +92,15 @@ class MVNeRFDataGenerator(DataGenerator):
             ext_inv, k4 = camera_parameters(cfg)
             ext_invs.append(ext_inv)
             intrs.append(k4)
+        # stack u8 then scale IN f32: `np.array(colors)/255.0` would promote
+        # the whole [V, H, W, 3] image stack through float64 (2x the memory
+        # traffic of the largest tensor in the batch) before the f32 cast
+        imgs = np.stack(colors).astype(np.float32)
+        imgs *= np.float32(1.0 / 255.0)
         return (
             np.array([r_o], dtype=np.float32),
             np.array([r_d], dtype=np.float32),
-            np.array([np.array(colors) / 255.0], dtype=np.float32),
+            imgs[None],
             np.array([intrs], dtype=np.float32),
             np.array([ext_invs], dtype=np.float32),
         )

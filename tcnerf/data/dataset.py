@@ -149,6 +149,7 @@ class ColorDataset(NPZDataset):
         with np.load(_sample_file(self.directory, idx, "npz")) as z:
             colors = z["colors"]
         if colors.nbytes <= self._cache_budget:
+            colors.flags.writeable = False   # shared across batches
             self._cache[idx] = colors
             self._cache_bytes += colors.nbytes
             while self._cache_bytes > self._cache_budget:

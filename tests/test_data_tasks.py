@@ -352,3 +352,24 @@ class TestSession:
         assert log_file.exists()
         rec = json.loads(log_file.read_text().splitlines()[0])
         assert rec["loss"] == 0.5
+
+
+class TestColorDatasetCache:
+    def test_cached_reads_identical_and_immutable(self, tmp_path):
+        """ColorDataset RAM-caches decoded samples (the NPZ decompression was
+        73% of full-scale batch synthesis); cached reads must return the
+        same data and be write-protected (they are shared across batches)."""
+        from tcnerf.data.dataset import ColorDataset
+
+        d = str(tmp_path / "color")
+        rng = np.random.default_rng(0)
+        sample = rng.integers(0, 255, (3, 8, 10, 4), dtype=np.uint8)
+        ColorDataset.write_sample(d, 0, sample)
+        ds = ColorDataset(d, n_perspectives=3)
+        first = ds.read_sample(0)
+        second = ds.read_sample(0)
+        np.testing.assert_array_equal(first, sample)
+        assert second is first          # cache hit, no re-decode
+        assert not second.flags.writeable
+        with pytest.raises(ValueError):
+            second[0, 0, 0, 0] = 1

@@ -44,9 +44,21 @@ run_with_retry() {
   local name=$1; shift
   local n=0
   until [ "$n" -ge "$MAX_RETRY" ]; do
+    # DEADLINE_TS (unix seconds): stop using the exclusive chip before the
+    # round driver needs it for the final bench; runs are resume-safe so a
+    # later round can continue them
+    local budget=14400
+    if [ -n "${DEADLINE_TS:-}" ]; then
+      budget=$(( DEADLINE_TS - $(date +%s) ))
+      [ "$budget" -gt 14400 ] && budget=14400
+      if [ "$budget" -lt 900 ]; then
+        echo "$(date -u +%T) [$name] deadline reached; leaving resume point"
+        return 1
+      fi
+    fi
     wait_tunnel
-    echo "$(date -u +%T) [$name] attempt $((n+1))/$MAX_RETRY"
-    timeout 14400 "$@" >> "$WS/$name.log" 2>&1
+    echo "$(date -u +%T) [$name] attempt $((n+1))/$MAX_RETRY (budget ${budget}s)"
+    timeout "$budget" "$@" >> "$WS/$name.log" 2>&1
     rc=$?
     if [ $rc -eq 0 ]; then
       echo "$(date -u +%T) [$name] done"

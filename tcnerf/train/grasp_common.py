@@ -28,6 +28,11 @@ def build_grasp_model(cfg, n_points_train: Optional[int] = None,
         n_views=nm.n_views, n_features=nm.n_features,
         original_image_size=tuple(nm.original_image_size),
         n_5d_poses=gm.n_5d_poses,
+        # embedding shape MUST follow the config, or a reduced-scale
+        # backbone checkpoint (e.g. goal_convergence_cpu pairing with
+        # nerf_convergence_cpu's 4-block/64-wide model) fails to load
+        n_blocks=nm.get("n_blocks", 6),
+        hidden_size=nm.get("hidden_size", 128),
         vit_size=tuple(nm.get("vit_size", (224, 224))),
         vit_patch=nm.get("vit_patch", 16), vit_dim=nm.get("vit_dim", 768),
         vit_heads=nm.get("vit_heads", 12),

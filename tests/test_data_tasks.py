@@ -174,6 +174,18 @@ class TestConfig:
             cfg = load_config(CONFIG_DIR, name)
             assert "nerf_model" in cfg, name
 
+    def test_grasp_model_follows_config_shape(self):
+        """Regression: build_grasp_model must thread n_blocks/hidden_size so
+        a reduced-scale goal model matches its reduced-scale nerf backbone
+        (the goal_convergence_cpu run failed checkpoint load without this)."""
+        from tcnerf.train.grasp_common import build_grasp_model
+
+        cfg = load_config(CONFIG_DIR, "goal_convergence_cpu",
+                          ["data_dir=/tmp/dd", "ws_dir=/tmp/dd"])
+        model = build_grasp_model(cfg)
+        assert model.n_blocks == cfg.nerf_model.n_blocks == 4
+        assert model.hidden_size == cfg.nerf_model.hidden_size == 64
+
 
 class TestTaskFramework:
     def test_affine_algebra(self):

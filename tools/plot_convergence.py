@@ -42,6 +42,9 @@ def _style(ax, title, xlabel, ylabel):
 def plot_nerf(model_path: str, out: str):
     rows = [json.loads(l) for l in open(os.path.join(model_path,
                                                      "metrics.jsonl"))]
+    # a resumed run re-logs its first eval round; keep the last row per epoch
+    rows = list({r["epoch"]: r for r in rows}.values())
+    rows.sort(key=lambda r: r["epoch"])
     ep = [r["epoch"] for r in rows if r.get("psnr_db") is not None]
     ps = [r["psnr_db"] for r in rows if r.get("psnr_db") is not None]
     le = [r["epoch"] for r in rows if r.get("loss") is not None]

@@ -35,7 +35,7 @@ def main(cfg):
         ensure_dataset(os.path.join(cfg.dataset.path, split),
                        cfg.dataset.n_perspectives, "goal",
                        image_size=tuple(nm.original_image_size), n_samples=n,
-                       rng=seed)
+                       rng=seed, n_spheres=cfg.dataset.get("n_spheres", 4))
     train_dataset = load_dataset_baseline(path=cfg.dataset.path,
                                           n_perspectives=cfg.dataset.n_perspectives,
                                           dataset_type="train")

@@ -17,6 +17,10 @@ import pickle
 import re
 import sys
 
+# the grasp results pickles reference tcnerf classes; make the repo root
+# importable regardless of where the tool is launched from
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import matplotlib
 

@@ -63,7 +63,7 @@ def load_dataset(path: str, n_perspectives: int, record_grasp_pose: bool = False
 
 def ensure_dataset(path: str, n_perspectives: int, kind: str = "nerf",
                    n_samples: int = 8, image_size=(480, 640), rng=0,
-                   n_spheres: int = 4) -> None:
+                   n_spheres: int = 4, **ring_kwargs) -> None:
     """Synthesize a dataset in place if `path` holds no samples.
 
     The reference's datasets live in git submodules that are not shipped
@@ -81,4 +81,5 @@ def ensure_dataset(path: str, n_perspectives: int, kind: str = "nerf",
     write_synthetic_dataset(
         path, n_samples=n_samples, n_perspectives=n_perspectives,
         height=image_size[0], width=image_size[1], rng=rng, n_spheres=n_spheres,
-        dict_records=(kind == "language"), record_order=(kind == "grad"))
+        dict_records=(kind == "language"), record_order=(kind == "grad"),
+        **ring_kwargs)

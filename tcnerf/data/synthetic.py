@@ -135,8 +135,15 @@ def look_at_pose(position: np.ndarray, target: np.ndarray) -> np.ndarray:
 
 def camera_ring(n_perspectives: int, center=(0.5, 0.0, 0.0), radius: float = 0.9,
                 polar: float = 0.7, height: int = 480, width: int = 640,
-                focal: Optional[float] = None):
-    """N camera configs on a ring looking at `center`.
+                focal: Optional[float] = None, azimuth_span: float = 2 * np.pi):
+    """N camera configs on a ring (or arc) looking at `center`.
+
+    `azimuth_span` < 2π clusters the cameras on an arc, mimicking the
+    reference's one-sided tabletop capture rig. A full 360° ring makes a
+    large fraction of random (src, tgt) training pairs near-opposite — for
+    few-view conditional rendering that supervision is ill-posed (the
+    target mostly sees surfaces invisible in the sources) and pushes the
+    model toward view-averaged blur.
 
     Returns a list of dicts {'pose': 4x4, 'intrinsics': 9-flat} (the format of
     the reference's camera_config dataset, SURVEY.md §2.9).
@@ -148,7 +155,7 @@ def camera_ring(n_perspectives: int, center=(0.5, 0.0, 0.0), radius: float = 0.9
                     dtype=np.float64)
     configs = []
     for i in range(n_perspectives):
-        azimuth = 2 * np.pi * i / n_perspectives
+        azimuth = azimuth_span * i / n_perspectives
         pos = center + radius * np.array(
             [np.sin(polar) * np.cos(azimuth), np.sin(polar) * np.sin(azimuth),
              np.cos(polar)])

@@ -38,7 +38,10 @@ def run_delta_training(cfg, generator_cls=DeltaNGFDataGenerator, sync=True,
         ensure_dataset(os.path.join(cfg.dataset.path, split),
                        cfg.dataset.n_perspectives, kind,
                        image_size=tuple(nm.original_image_size), n_samples=n,
-                       rng=seed, n_spheres=cfg.dataset.get("n_spheres", 4))
+                       rng=seed, n_spheres=cfg.dataset.get("n_spheres", 4),
+                       **({"azimuth_span": float(cfg.dataset.azimuth_span_deg)
+                           * np.pi / 180}
+                          if "azimuth_span_deg" in cfg.dataset else {}))
     if tokenize_fn is not None:
         from ..data.loaders import load_dataset_language
         train_dataset = load_dataset_language(

@@ -1,6 +1,8 @@
 """End-to-end tests for the NeRF renderer family: init/shape contracts and a
 tiny-scene overfit run (the CPU-runnable slice of BASELINE.json config 1)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -405,3 +407,76 @@ def _chunked_loss(model, params, inputs, labels, key, ray_chunk):
     total, _ = jax.lax.scan(jax.checkpoint(body, prevent_cse=False),
                             jnp.zeros(()), xs)
     return total / n_chunks + aux
+
+
+@pytest.mark.skipif(os.environ.get("TCNERF_SLOW_TESTS") != "1",
+                    reason="minutes-long learning test; TCNERF_SLOW_TESTS=1")
+class TestStructureLearning:
+    def test_learns_scene_structure_not_just_statistics(self):
+        """Round-3 regression: with a well-posed rig (arc cameras, near/far
+        covering the scene) and a working recipe, training must push the
+        loss BELOW the view-averaged-blur floor (~0.035-0.05 = per-scene
+        color variance). A model that only learns global color statistics
+        passes loss-decreases tests but plateaus at that floor — this
+        caught a clipped sampling interval and an ill-posed 360-degree rig
+        (docs/convergence.md)."""
+        import optax
+
+        rng = np.random.default_rng(0)
+        scenes = [SyntheticScene.random(rng, n_spheres=3) for _ in range(2)]
+        views = [generate_views(s, 4, height=H, width=W, radius=0.9,
+                                polar=0.7, azimuth_span=np.pi * 100 / 180)
+                 for s in scenes]
+        model = MVNeRFRenderer(**{**TINY, "n_views": 1, "near": 0.55,
+                                  "far": 1.8, "n_samples": 32,
+                                  "hidden_size": 64, "n_blocks": 4})
+
+        def batch(scene_i):
+            scene = scenes[scene_i]
+            colors, configs = views[scene_i]
+            idx = rng.choice(4, size=2, replace=False)
+            # make_batch uses module-level N_VIEWS; build 1-view inputs here
+            pix = bbox_biased_sample(rng, 256, (0, 0, H, W), H, W)
+            u, v = pix[:, 1].astype(np.float32), pix[:, 0].astype(np.float32)
+            tgt, src = int(idx[0]), int(idx[1])
+            ro, rd = get_specific_rays(
+                u, v, configs[tgt]["pose"],
+                configs[tgt]["intrinsics"].reshape(3, 3))
+            k4 = np.eye(4, dtype=np.float32)
+            k4[:3, :3] = configs[src]["intrinsics"].reshape(3, 3)
+            inputs = (
+                jnp.asarray(ro[None], jnp.float32),
+                jnp.asarray(rd[None], jnp.float32),
+                jnp.asarray(colors[src][None, None, ..., :3] / 255.0,
+                            jnp.float32),
+                jnp.asarray(k4[None, None]),
+                jnp.asarray(np.linalg.inv(configs[src]["pose"])[None, None]
+                            .astype(np.float32)),
+            )
+            labels = jnp.asarray(
+                colors[tgt][pix[:, 0], pix[:, 1], :3] / 255.0, jnp.float32)
+            return inputs, labels[None]
+
+        inputs0, labels0 = batch(0)
+        tx = T.make_nerf_optimizer(nerf_lr=2e-3, feature_lr=2e-4,
+                                   warmup_steps=25, scale_down_after=10**9)
+        state = T.create_train_state(model, jax.random.PRNGKey(0), inputs0,
+                                     tx=tx)
+        key = jax.random.PRNGKey(7)
+        losses = []
+        for i in range(800):
+            key, k1 = jax.random.split(key)
+            inputs, labels = batch(i % 2)
+            state, metrics = T.nerf_train_step(state, inputs, labels, k1)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        early = float(np.mean(losses[100:200]))
+        tail = float(np.mean(losses[-100:]))
+        # measured: broken recipes (clipped near/far, 360-ring, starved LR)
+        # plateau flat at 0.038-0.054; the working recipe reaches ~0.034 by
+        # step 800 and keeps falling (0.030 by 1200)
+        assert tail < 0.036, (
+            f"loss stuck at the blur floor ({tail:.4f}): the model is "
+            "learning color statistics, not scene structure")
+        assert tail < 0.85 * early, (
+            f"loss stopped improving ({early:.4f} -> {tail:.4f})")

@@ -29,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 NORTH_STAR = 20e6
 
 # Tuned-knob file: `.bench_knobs.json` maps TCNERF_BENCH_* names to values
-# (written by the on-tunnel sweep in /tmp/r3_tpu_checklist.sh when a sweep
+# (written by the on-tunnel sweep in tools/tpu_checklist.sh when a sweep
 # point beats the committed defaults with zero overflow). Explicit env vars
 # always win; a missing or malformed file is ignored.
 _KNOBS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -45,7 +45,20 @@ def knob(name: str, default: str) -> str:
     return os.environ.get(name, _KNOBS.get(name, default))
 
 
+CHIP_LOCK = "/tmp/tcnerf_chip_lock"
+
+
 def main():
+    # cooperative chip lock: long-running background jobs (the convergence
+    # supervisor) poll this file and stand down while it is fresh, so a
+    # bench invocation — e.g. the round driver's — gets the chip and the
+    # remote compile service to itself. Stale (>30 min) locks are ignored.
+    try:
+        with open(CHIP_LOCK, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+
     from tcnerf.models.renderer import MVNeRFRenderer
 
     h, w = 480, 640
@@ -441,4 +454,10 @@ def bench_clip(batch: int = 32, iters: int = 4):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        try:
+            os.remove(CHIP_LOCK)
+        except OSError:
+            pass

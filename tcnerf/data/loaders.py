@@ -10,6 +10,8 @@ dataset_type=...)` (src/train_delta_ngf.py:32-39); see SURVEY.md §2.9.
 from __future__ import annotations
 
 import os
+
+import numpy as np
 from typing import Optional
 
 from .dataset import (ColorDataset, NPZDataset, PickleDataset,
@@ -63,7 +65,8 @@ def load_dataset(path: str, n_perspectives: int, record_grasp_pose: bool = False
 
 def ensure_dataset(path: str, n_perspectives: int, kind: str = "nerf",
                    n_samples: int = 8, image_size=(480, 640), rng=0,
-                   n_spheres: int = 4, **ring_kwargs) -> None:
+                   n_spheres: int = 4, azimuth_span_deg=None,
+                   **ring_kwargs) -> None:
     """Synthesize a dataset in place if `path` holds no samples.
 
     The reference's datasets live in git submodules that are not shipped
@@ -78,6 +81,8 @@ def ensure_dataset(path: str, n_perspectives: int, kind: str = "nerf",
     if os.path.isdir(color_dir) and any(
             f.startswith("sample_") for f in os.listdir(color_dir)):
         return
+    if azimuth_span_deg is not None:
+        ring_kwargs["azimuth_span"] = float(azimuth_span_deg) * np.pi / 180
     write_synthetic_dataset(
         path, n_samples=n_samples, n_perspectives=n_perspectives,
         height=image_size[0], width=image_size[1], rng=rng, n_spheres=n_spheres,

@@ -154,8 +154,12 @@ def camera_ring(n_perspectives: int, center=(0.5, 0.0, 0.0), radius: float = 0.9
     intr = np.array([[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],
                     dtype=np.float64)
     configs = []
+    # a full ring divides by n (endpoint-exclusive — 0 and 2pi coincide);
+    # an arc divides by n-1 so the configured span is actually covered
+    full_ring = abs(azimuth_span - 2 * np.pi) < 1e-9 or n_perspectives < 2
+    denom = n_perspectives if full_ring else (n_perspectives - 1)
     for i in range(n_perspectives):
-        azimuth = azimuth_span * i / n_perspectives
+        azimuth = azimuth_span * i / denom
         pos = center + radius * np.array(
             [np.sin(polar) * np.cos(azimuth), np.sin(polar) * np.sin(azimuth),
              np.cos(polar)])

@@ -39,9 +39,7 @@ def run_delta_training(cfg, generator_cls=DeltaNGFDataGenerator, sync=True,
                        cfg.dataset.n_perspectives, kind,
                        image_size=tuple(nm.original_image_size), n_samples=n,
                        rng=seed, n_spheres=cfg.dataset.get("n_spheres", 4),
-                       **({"azimuth_span": float(cfg.dataset.azimuth_span_deg)
-                           * np.pi / 180}
-                          if "azimuth_span_deg" in cfg.dataset else {}))
+                       azimuth_span_deg=cfg.dataset.get("azimuth_span_deg"))
     if tokenize_fn is not None:
         from ..data.loaders import load_dataset_language
         train_dataset = load_dataset_language(

@@ -30,16 +30,13 @@ def main(cfg):
     logger.add(sys.stderr, level="INFO")
     nm = cfg.nerf_model
 
-    ring = {}
-    if "azimuth_span_deg" in cfg.dataset:
-        ring["azimuth_span"] = float(cfg.dataset.azimuth_span_deg) * np.pi / 180
     for split, n, seed in (("train", cfg.dataset.get("n_synthetic_samples", 8), 0),
                            ("valid", 8, 1)):
         ensure_dataset(os.path.join(cfg.dataset.path, split),
                        cfg.dataset.n_perspectives, "goal",
                        image_size=tuple(nm.original_image_size), n_samples=n,
                        rng=seed, n_spheres=cfg.dataset.get("n_spheres", 4),
-                       **ring)
+                       azimuth_span_deg=cfg.dataset.get("azimuth_span_deg"))
     train_dataset = load_dataset_baseline(path=cfg.dataset.path,
                                           n_perspectives=cfg.dataset.n_perspectives,
                                           dataset_type="train")

@@ -146,16 +146,15 @@ def _main(cfg, fusion=None):
     logger.add(sys.stderr, level="INFO")
     nm = cfg.nerf_model
 
-    ring = {}
-    if "azimuth_span_deg" in cfg.dataset:
-        ring["azimuth_span"] = float(cfg.dataset.azimuth_span_deg) * np.pi / 180
+    span = cfg.dataset.get("azimuth_span_deg")
     ensure_dataset(cfg.dataset.path + "/train", cfg.dataset.n_perspectives,
                    "nerf", image_size=tuple(nm.original_image_size),
-                   n_samples=cfg.dataset.get("n_synthetic_samples", 8), **ring)
+                   n_samples=cfg.dataset.get("n_synthetic_samples", 8),
+                   azimuth_span_deg=span)
     ensure_dataset(cfg.dataset.path + "/valid", cfg.dataset.n_perspectives,
                    "nerf", image_size=tuple(nm.original_image_size),
                    n_samples=max(cfg.get("valid_sample_idx", 3) + 1, 4), rng=1,
-                   **ring)
+                   azimuth_span_deg=span)
     train_dataset = load_dataset_nerf(cfg.dataset.n_perspectives,
                                       cfg.dataset.path + "/train")
     valid_dataset = load_dataset_nerf(cfg.dataset.n_perspectives,

@@ -9,7 +9,11 @@ coarse/fine stage at 8192-ray chunks). Candidates measured here:
               or 4 x f32 -> 2 x f64-equivalent via int32 pairs):
               lax.sort((orig, packed0, packed1), num_keys=1)
   sort10    — current forward pack: 10-operand variadic sort
-  sort8     — ax/ay packed into one f32 (two bf16 halves)
+  sort9     — ax/ay packed into one int32 (two bf16 halves)
+
+Packing happens INSIDE the timed loop on iteration-dependent data, since
+the real serving path re-packs every chunk — measuring only the smaller
+sort would overstate the win.
 
 Run on the chip:  python tools/bench_sortpack.py [n]
 Prints ms per variant (K-iteration fori_loop, host-pull timing — the
@@ -55,33 +59,44 @@ def main(n=524288):
             return jax.lax.fori_loop(0, 20, step, jnp.zeros(()))
         return run
 
-    # --- unsort variants
-    unsort5 = loop(lambda c: jax.lax.sort(
-        (orig + c.astype(jnp.int32), *outs), num_keys=1))
+    def pack2(a, b):
+        ha = jax.lax.bitcast_convert_type(
+            a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        hb = jax.lax.bitcast_convert_type(
+            b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        return (ha << 16 | hb).astype(jnp.int32)
 
-    b0 = jax.lax.bitcast_convert_type(
-        outs[0].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-    b1 = jax.lax.bitcast_convert_type(
-        outs[1].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-    packed01 = (b0 << 16 | b1).astype(jnp.int32)
-    b2 = jax.lax.bitcast_convert_type(
-        outs[2].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-    b3 = jax.lax.bitcast_convert_type(
-        outs[3].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-    packed23 = (b2 << 16 | b3).astype(jnp.int32)
-    unsort3 = loop(lambda c: jax.lax.sort(
-        (orig + c.astype(jnp.int32), packed01, packed23), num_keys=1))
+    def unpack2(p):
+        u = p.astype(jnp.uint32)
+        a = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16),
+                                         jnp.bfloat16)
+        b = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16),
+                                         jnp.bfloat16)
+        return a, b
+
+    # --- unsort variants (pack/unpack INSIDE the loop, carry-dependent)
+    unsort5 = loop(lambda c: jax.lax.sort(
+        (orig + c.astype(jnp.int32), *[o + c for o in outs]), num_keys=1))
+
+    def unsort3_body(c):
+        p01 = pack2(outs[0] + c, outs[1] + c)
+        p23 = pack2(outs[2] + c, outs[3] + c)
+        s = jax.lax.sort((orig + c.astype(jnp.int32), p01, p23), num_keys=1)
+        a, b = unpack2(s[1])
+        cc, d = unpack2(s[2])
+        return (a.astype(jnp.float32) + b + cc + d,)
+
+    unsort3 = loop(unsort3_body)
 
     # --- forward pack variants
     sort10 = loop(lambda c: jax.lax.sort(
-        (keys + c, orig, ax, ay, *pos, *dirs), num_keys=1))
-    axay = (jax.lax.bitcast_convert_type(
-        ax.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32) << 16
-        | jax.lax.bitcast_convert_type(
-            ay.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-    ).astype(jnp.int32)
-    sort9 = loop(lambda c: jax.lax.sort(
-        (keys + c, orig, axay, *pos, *dirs), num_keys=1))
+        (keys + c, orig, ax + c, ay + c, *pos, *dirs), num_keys=1))
+
+    def sort9_body(c):
+        axay = pack2(ax + c, ay + c)
+        return jax.lax.sort((keys + c, orig, axay, *pos, *dirs), num_keys=1)
+
+    sort9 = loop(sort9_body)
 
     for name, fn in [("unsort5", unsort5), ("unsort3", unsort3),
                      ("sort10", sort10), ("sort9", sort9)]:

@@ -4,10 +4,16 @@
 # Waits for the axon TPU tunnel, then drives the two sustained full-scale
 # runs back to back, resume-safe (both trainers continue from
 # training_progress.json on relaunch):
-#   1. nerf_convergence  — full 480x640 NeRF, fusion='without', 2048 epochs
+#   1. nerf_convergence  — full 480x640 NeRF, fusion='without'
 #   2. goal_convergence  — grasp EBM on the frozen converged backbone
 # Retries each run up to MAX_RETRY times on crash (the axon tunnel is the
 # usual culprit; a retry resumes, it does not restart).
+#
+# Cooperative preemption: a fresh /tmp/tcnerf_chip_lock (written by a
+# running bench.py — e.g. the round driver's round-end bench) makes the
+# supervisor kill its trainer within ~30 s and stand down until the lock
+# clears, so the bench gets the exclusive chip and the shared remote
+# compile service to itself. Runs resume afterwards.
 #
 # Usage: setsid nohup bash tools/convergence_supervisor.sh <workdir> \
 #          > <workdir>/supervisor.log 2>&1 &
@@ -30,23 +36,26 @@ finally:
 EOF
 }
 
+lock_fresh() {
+  [ -f /tmp/tcnerf_chip_lock ] && \
+    [ $(( $(date +%s) - $(stat -c %Y /tmp/tcnerf_chip_lock) )) -lt 1800 ]
+}
+
 wait_tunnel() {
-  # /tmp/conv_hold gates the supervisor off the (exclusive) TPU while a
-  # human/agent session runs its own checks; remove the file to release
-  while ! tunnel_up || [ -e /tmp/conv_hold ]; do
-    echo "$(date -u +%T) tunnel down or /tmp/conv_hold present; waiting 60s"
+  # /tmp/conv_hold gates the supervisor off the (exclusive) TPU while the
+  # tpu_checklist runs its benches; the checklist releases it via EXIT trap
+  while ! tunnel_up || [ -e /tmp/conv_hold ] || lock_fresh; do
+    echo "$(date -u +%T) tunnel down / conv_hold / chip lock; waiting 60s"
     sleep 60
   done
-  echo "$(date -u +%T) tunnel up"
+  echo "$(date -u +%T) tunnel up, chip free"
 }
 
 run_with_retry() {
   local name=$1; shift
   local n=0
   until [ "$n" -ge "$MAX_RETRY" ]; do
-    # DEADLINE_TS (unix seconds): stop using the exclusive chip before the
-    # round driver needs it for the final bench; runs are resume-safe so a
-    # later round can continue them
+    # optional DEADLINE_TS (unix seconds) still honored when exported
     local budget=14400
     if [ -n "${DEADLINE_TS:-}" ]; then
       budget=$(( DEADLINE_TS - $(date +%s) ))
@@ -58,8 +67,24 @@ run_with_retry() {
     fi
     wait_tunnel
     echo "$(date -u +%T) [$name] attempt $((n+1))/$MAX_RETRY (budget ${budget}s)"
-    timeout "$budget" "$@" >> "$WS/$name.log" 2>&1
+    timeout "$budget" "$@" >> "$WS/$name.log" 2>&1 &
+    local tpid=$!
+    local preempted=0
+    while kill -0 "$tpid" 2>/dev/null; do
+      if lock_fresh; then
+        echo "$(date -u +%T) [$name] chip lock appeared — preempting (resume-safe)"
+        kill "$tpid" 2>/dev/null
+        preempted=1
+      fi
+      sleep 30
+    done
+    wait "$tpid"
     rc=$?
+    if [ "$preempted" -eq 1 ]; then
+      # not a failure: stand down, then resume without burning a retry
+      sleep 60
+      continue
+    fi
     if [ $rc -eq 0 ]; then
       echo "$(date -u +%T) [$name] done"
       return 0

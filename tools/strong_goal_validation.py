@@ -1,7 +1,10 @@
-"""Strong-ascent validation of the best goal-64 checkpoint (1024 guesses,
-32 steps) — reduces ascent variance for the final reported errors."""
-import sys, numpy as np
-sys.path.insert(0, '/root/repo')
+"""Strong-ascent validation of a trained grasp checkpoint (1024 guesses,
+32 steps) — reduces ascent variance for the final reported errors.
+
+  python tools/strong_goal_validation.py [config] [model_path] [backbone_path]
+"""
+import os, sys, numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 from tcnerf.train.config import load_config
 from tcnerf.train import grasp_common as G
@@ -10,10 +13,16 @@ from tcnerf.data.loaders import load_dataset_baseline
 from tcnerf.models import checkpoint as ckpt
 from tcnerf.models import grasp_training as GT
 
-cfg = load_config('/root/repo/tcnerf/configs', 'goal_convergence_cpu',
+CONFIG = sys.argv[1] if len(sys.argv) > 1 else 'goal_convergence_cpu'
+MODEL = (sys.argv[2] if len(sys.argv) > 2
+         else '/tmp/convcpu/storage/models/grasp/convergence_cpu_1obj64')
+BACKBONE = (sys.argv[3] if len(sys.argv) > 3
+            else '/tmp/convcpu/storage/models/nerf/convergence_cpu3')
+cfg = load_config(os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), 'tcnerf', 'configs'), CONFIG,
                   ['data_dir=/tmp/convcpu', 'ws_dir=/tmp/convcpu',
-                   'grasp_training.model_path=/tmp/convcpu/storage/models/grasp/convergence_cpu_1obj64',
-                   'grasp_training.backbone_path=/tmp/convcpu/storage/models/nerf/convergence_cpu3',
+                   f'grasp_training.model_path={MODEL}',
+                   f'grasp_training.backbone_path={BACKBONE}',
                    'validation.grasp_opt_config.optimizer_config.n_initial_guesses=1024',
                    'validation.grasp_opt_config.optimization_config.n_optimization_steps=32'])
 valid_dataset = load_dataset_baseline(path=cfg.dataset.path,
@@ -35,8 +44,8 @@ sample_inputs, _ = gen[0]
 state = G.init_grasp_state(model, cfg, sample_inputs, 0)
 state, ok = G.load_backbone(state, cfg)
 assert ok
-best = ckpt.load('/tmp/convcpu/storage/models/grasp/convergence_cpu_1obj64/best',
-                 state.params, ckpt.GRASP_COMPONENTS)
+best = ckpt.load(os.path.join(MODEL, 'best'), state.params,
+                 ckpt.GRASP_COMPONENTS)
 assert best is not None
 state = state.replace(params=best)
 opt = G.build_pose_optimizer(model, state, cfg)

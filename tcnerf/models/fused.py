@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import projection, render, sampling
 from ..core.encoding import positional_encoding
@@ -47,8 +48,15 @@ def flatten_mv_params(mlp_params, n_blocks: int, readout_params=None):
 def fused_field(flat_weights, world_points, z, cam_dirs, normalized_images,
                 src_intrinsics, src_extrinsics_inv, combined_features,
                 n_blocks: int, n_freq: int = 10, tile: int = 1024,
+                embed_direction_vector: bool = True,
+                pos_encoding_freq: float = float(np.pi),
                 interpret: bool = False):
-    """Chroma/density via the Pallas chain (1-view). Shapes as renderer._field."""
+    """Chroma/density via the Pallas chain (1-view). Shapes as renderer._field.
+
+    embed_direction_vector / pos_encoding_freq mirror MVResNetMLPEmbedding's
+    knobs — a model configured differently must thread them here or layer_0's
+    input width will not match (loud dot-dimension error for the former,
+    silent numeric divergence for the latter)."""
     b, r, s, _ = world_points.shape
     pixel_xy, cam_points = projection.project_points_mv(
         world_points, src_intrinsics, src_extrinsics_inv)
@@ -57,8 +65,9 @@ def fused_field(flat_weights, world_points, z, cam_dirs, normalized_images,
     dirs = jnp.broadcast_to(cam_dirs[:, :, :, None, :], (b, 1, r, s, 3))
 
     x = jnp.concatenate([
-        positional_encoding(cam_points[..., :3], n_freq),
-        positional_encoding(dirs, n_freq),
+        positional_encoding(cam_points[..., :3], n_freq, pos_encoding_freq),
+        (positional_encoding(dirs, n_freq, pos_encoding_freq)
+         if embed_direction_vector else dirs),
         feats,
     ], axis=-1)
     x = x.reshape(-1, x.shape[-1]).astype(combined_features.dtype)
@@ -172,7 +181,8 @@ def swg_stage_params(params, stage: str, n_blocks: int, dtype):
 
 
 def swg_prepare(params, src_images, combined_features, n_blocks: int = 6,
-                pd: int = 120, ka: int = 6, fast: bool = True, dtype=None):
+                pd: int = None, ka: int = 6, fast: bool = True, dtype=None,
+                n_freq: int = 10):
     """Precompute every chunk-invariant artifact for the swg render path.
 
     Returns an opaque tuple consumed by swg_render_chunk. Doing this ONCE
@@ -188,6 +198,17 @@ def swg_prepare(params, src_images, combined_features, n_blocks: int = 6,
     from ..ops.pallas.swg import (head_pad_transposed, prepare_image,
                                   transpose_chain_weights)
 
+    # the swg kernels assume embed_direction_vector=True: pd = pos + dir
+    # octaves = 2 * (2 * n_freq) * 3. A mismatched explicit pd would build
+    # a corrupted permuted head via clamped out-of-bounds gathers.
+    if pd is None:
+        pd = 12 * n_freq
+    assert pd == 12 * n_freq, (
+        f"pd={pd} inconsistent with n_freq={n_freq} (expect {12 * n_freq})")
+    b, v = src_images.shape[:2]
+    assert b == 1 and v == 1, (
+        "swg_prepare is the 1-view serving path; multi-view inputs would "
+        "silently render from view 0 only")
     dtype = combined_features.dtype if dtype is None else dtype
     combined_features = combined_features.astype(dtype)
     head_ck, head_cb, flat_c = swg_stage_params(params, "coarse", n_blocks,
@@ -206,7 +227,7 @@ def swg_prepare(params, src_images, combined_features, n_blocks: int = 6,
     def prep(head_k, flat):
         if not fast:
             return None
-        return (None, head_pad_transposed(head_k[:pd], 3, 10).astype(dtype),
+        return (None, head_pad_transposed(head_k[:pd], 3, n_freq).astype(dtype),
                 transpose_chain_weights(flat))
 
     prep_c = prep(head_ck, flat_c)
@@ -216,7 +237,10 @@ def swg_prepare(params, src_images, combined_features, n_blocks: int = 6,
         prep_f = (jnp.transpose(grouped_f, (0, 2, 1)),) + prep_f[1:]
     stage_c = ((head_ck[:pd], head_cb, flat_c), grouped_c, prep_c)
     stage_f = ((head_fk[:pd], head_fb, flat_f), grouped_f, prep_f)
-    return (stage_c, stage_f, (h, w), w_pad, w_groups)
+    # limits: the image padding supports windows up to max(ka, 16)
+    # groups (prepare_image), and the permuted heads bake in n_freq
+    return (stage_c, stage_f, (h, w), w_pad, w_groups,
+            (max(ka, 16), n_freq))
 
 
 def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
@@ -244,8 +268,12 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     windows silently push every coarse stage onto the fallback (found by the
     overflow counter on the round-2 bench geometry).
     """
-    stage_c, stage_f, (h, w), w_pad, w_groups = prepared
+    stage_c, stage_f, (h, w), w_pad, w_groups, (max_ka, n_freq) = prepared
     ka_c = min(2 * ka, 16) if ka_c is None else ka_c
+    assert max(ka, ka_c) <= max_ka, (
+        f"window ka={ka}/ka_c={ka_c} exceeds the prepared image "
+        f"padding ({max_ka} groups) — re-run swg_prepare with ka="
+        f"{max(ka, ka_c)} or the window would read clamped groups")
     sg_c = sg if sg_c is None else sg_c
     key_c, key_f = jax.random.split(key)
 
@@ -257,7 +285,8 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     chroma, density, of_c = swg_field(params_c, world_points, z, cam_dirs,
                                       grouped_c, w_pad, w_groups, (h, w),
                                       src_intrinsics, src_extrinsics_inv,
-                                      n_blocks, ka=ka_c, bq=bq, sg=sg_c,
+                                      n_blocks, n_freq=n_freq,
+                                      ka=ka_c, bq=bq, sg=sg_c,
                                       msplit=msplit, patch_cap=patch_cap,
                                       fast=fast, nsplit=nsplit,
                                       interpret=interpret,
@@ -274,7 +303,8 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     params_f, grouped_f, prep_f = stage_f
     fine_chroma, fine_density, of_f = swg_field(
         params_f, fine_points, all_z, cam_dirs, grouped_f, w_pad, w_groups,
-        (h, w), src_intrinsics, src_extrinsics_inv, n_blocks, ka=ka, bq=bq,
+        (h, w), src_intrinsics, src_extrinsics_inv, n_blocks,
+        n_freq=n_freq, ka=ka, bq=bq,
         sg=sg, msplit=msplit, patch_cap=patch_cap, fast=fast, nsplit=nsplit,
         interpret=interpret, stage_prep=prep_f)
     fine_rgb, fine_depth, _ = render.volumetric_render(all_z, fine_density,

@@ -494,8 +494,7 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
     patch_cap=0 restores the strict whole-call-fallback-on-any-overflow
     behavior.
     """
-    from ...core.encoding import (positional_encoding,
-                                  positional_encoding_fast)
+    from ...core.encoding import positional_encoding
 
     n = coords_xy.shape[0]
     x = jnp.clip(coords_xy[:, 0], 0.0, w_real - 1.0)
@@ -524,7 +523,16 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
          positions[:, 0], positions[:, 1], positions[:, 2],
          directions[:, 0], directions[:, 1], directions[:, 2]), num_keys=1)
 
-    sub = bq // sg if (fast and embed_direction_vector) else bq
+    # The transposed kernel carries pixel keys as f32 (Mosaic sublane dims
+    # must be multiples of 8, so they ride in the [16, BQ] pdt block): exact
+    # only while the largest key < 2^24. Larger images route to the row-major
+    # kernel whose keys stay int32 (same math, modestly slower head).
+    keys_exact_f32 = h_real * w_pad < 2 ** 24
+    use_transposed = fast and embed_direction_vector and keys_exact_f32
+    # sub MUST follow the kernel actually taken: the row-major kernel reads
+    # one window base per bq-block, so per-SUBgroup bases (sub < bq) would
+    # misalign every block past the first — silently gathering zeros
+    sub = bq // sg if use_transposed else bq
     s_blocks = keys_s[::sub] // LANE
     # per-(sub)block span check: the largest local index (+1 for the x+1
     # corner) must stay inside the ka*128 window
@@ -553,37 +561,12 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
             enc = jnp.concatenate([enc, enc_d], axis=-1)
             return (enc.astype(dt) @ head_kernel.astype(dt)
                     + head_bias.astype(dt)).astype(dt)
-        # Fast path: (a) double-angle recurrences give every octave from one
-        # base sin/cos pair; (b) the octave features are concatenated in
-        # whatever order is cheapest (no interleave copies) and the HEAD
-        # KERNEL's rows are permuted to match — enc @ W is invariant under a
-        # shared row permutation. The transcendentals + interleave were the
-        # single largest serving cost (tools/bench_swg.py SWG_BREAKDOWN=1).
-        def octaves(x):
-            xb = x * jnp.asarray(pos_encoding_freq, x.dtype)
-            s = jnp.sin(xb)
-            c = jnp.cos(xb)
-            sins, coss = [s], [c]
-            for _ in range(n_freq - 1):
-                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
-                sins.append(s)
-                coss.append(c)
-            return sins + coss                     # [f, n] major, d minor
-
-        dim = p.shape[-1]
-        parts = octaves(p)
-        parts += octaves(d) if embed_direction_vector else [d]
-        enc = jnp.concatenate([q.astype(dt) for q in parts], axis=-1)
-        head = _permuted_head(head_kernel, dim, n_freq,
-                              embed_direction_vector).astype(dt)
-        return (enc @ head + head_bias.astype(dt)).astype(dt)
-
-    # The transposed kernel carries pixel keys as f32 (Mosaic sublane dims
-    # must be multiples of 8, so they ride in the [16, BQ] pdt block): exact
-    # only while the largest key < 2^24. Larger images route to the row-major
-    # kernel whose keys stay int32 (same math, modestly slower head).
-    keys_exact_f32 = h_real * w_pad < 2 ** 24
-    use_transposed = fast and embed_direction_vector and keys_exact_f32
+        # Fast path: double-angle-recurrence octaves + row-permuted head
+        # (the transcendentals + interleave were the single largest serving
+        # cost — tools/bench_swg.py SWG_BREAKDOWN=1)
+        return fast_encode_head(p, d, head_kernel, head_bias, n_freq,
+                                pos_encoding_freq, dt,
+                                embed_direction_vector)
 
     def kernel_branch(_):
         if use_transposed:

@@ -69,7 +69,7 @@ def main():
     params = variables["params"]
 
     def stage(level, prepared, key):
-        stage_c, stage_f, hw, w_pad, w_groups = prepared
+        stage_c, stage_f, hw, w_pad, w_groups = prepared[:5]
         key_c, key_f = jax.random.split(key)
         world_points, z = sampling.sample_along_ray(
             key_c, ray_o, ray_d, 0.3, 1.3, n_samples)

@@ -89,6 +89,15 @@ else:
     print(f"no knob adoption (best clean sweep: {best})")
 EOF
 
-# 4. hand the chip to the convergence supervisor (also done by the EXIT trap)
+# 4. run the TPU-only kernel/renderer parity tests on the real chip — the
+# default CPU-mesh suite skips them, so without this run a real-chip
+# regression is invisible (round-2 verdict, "What's weak")
+wait_clear
+timeout 5400 env TCNERF_TPU_TESTS=1 python -m pytest \
+  tests/test_kernels.py tests/test_renderer.py -q \
+  > /tmp/r3/tpu_tests.log 2>&1
+echo "$(date -u +%T) TPU test run rc=$? $(tail -1 /tmp/r3/tpu_tests.log | head -c 200)" >> /tmp/r3/status
+
+# 5. hand the chip to the convergence supervisor (also done by the EXIT trap)
 rm -f /tmp/conv_hold
 echo "$(date -u +%T) released /tmp/conv_hold — convergence runs start" >> /tmp/r3/status

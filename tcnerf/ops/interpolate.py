@@ -113,8 +113,16 @@ def gather_projection_features(normalized_images: jnp.ndarray, features: jnp.nda
     """
     b, v, h, w, _ = normalized_images.shape
     r, s = pixel_xy.shape[2], pixel_xy.shape[3]
-    combined = jnp.concatenate([normalized_images, features], axis=-1)
-    combined = combined.reshape(b * v, h, w, combined.shape[-1])
     coords = pixel_xy.reshape(b * v, r * s, 2)
-    out = bilinear_gather(combined, coords)
+    # Gather RGB and features SEPARATELY and concat the narrow per-query
+    # results: concatenating the images first materializes a [B,V,H,W,259]
+    # temp whose 259-channel minor dim pads to 384 on TPU (1.5x) — at batch 8
+    # full scale that one temp is 3.5 GB and shows up three times (fwd + two
+    # remat'd bwd copies), the allocation that kept the reference-shape
+    # batch-8 train step out of HBM. Same stencil, same alphas, exact same
+    # values (bilinear_gather is elementwise-deterministic).
+    rgb = bilinear_gather(normalized_images.reshape(b * v, h, w, 3), coords)
+    feat = bilinear_gather(
+        features.reshape(b * v, h, w, features.shape[-1]), coords)
+    out = jnp.concatenate([rgb, feat], axis=-1)
     return out.reshape(b, v, r, s, out.shape[-1])

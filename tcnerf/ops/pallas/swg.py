@@ -143,7 +143,7 @@ def _chain_math_t(h, weights, idx, n_blocks: int, readout: bool,
 
 def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
                   sg: int, n_freq: int, base_freq: float, msplit: int,
-                  s_ref, pdt_ref, *refs):
+                  merged_wg: int, s_ref, pdt_ref, *refs):
     """Fully transposed sorted-window kernel with the geometry head inside.
 
     Layout is [channels, queries] everywhere: the in-kernel sin/cos runs on
@@ -169,7 +169,12 @@ def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
     out_ref = refs[-1]
     head_t = refs[0]
     head_b = refs[1]
-    nwin = 2 * ka * sg
+    # merged_wg > 0: the A (y0) and B (y0+1) windows overlap (ka > w_groups),
+    # so each subgroup carries ONE contiguous span of merged_wg + ka group
+    # blocks covering both — (ka - w_groups) groups fewer DMA'd per window
+    # pair. merged_wg == 0: disjoint per-window A/B blocks (2 * ka each).
+    span = (merged_wg + ka) if merged_wg else 2 * ka
+    nwin = span * sg
     wins = refs[2:2 + nwin]
     weights = refs[2 + nwin:-1]
 
@@ -213,10 +218,11 @@ def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
             ax = pdt_ref[6:7, cols]
             ay = pdt_ref[7:8, cols]
             tri = jnp.maximum(0.0, 1.0 - jnp.abs(ids - (l_f + ax))).astype(dt)
+            boff = ka if not merged_wg else merged_wg
             winA = jnp.concatenate(
-                [wins[j * 2 * ka + k][0] for k in range(ka)], axis=1)
+                [wins[j * span + k][0] for k in range(ka)], axis=1)
             winB = jnp.concatenate(
-                [wins[j * 2 * ka + ka + k][0] for k in range(ka)], axis=1)
+                [wins[j * span + boff + k][0] for k in range(ka)], axis=1)
             gA = jnp.dot(winA, tri, preferred_element_type=jnp.float32)
             gB = jnp.dot(winB, tri, preferred_element_type=jnp.float32)
             h0_parts.append(gA + (gB - gA) * ay)
@@ -262,7 +268,20 @@ def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
         pl.BlockSpec((hidden, 1), lambda i, s: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    # When the A (y0) and B (y0+1) windows overlap (ka > w_groups), one
+    # contiguous span of w_groups + ka group blocks covers both — fewer
+    # bytes AND fewer DMA descriptors than two disjoint ka-group windows
+    # (the coarse stage's wide windows: 17 blocks vs 24 at ka=12, wg=5).
+    merged_wg = w_groups if ka > w_groups else 0
+    nwin = (merged_wg + ka if merged_wg else 2 * ka) * sg
     for j in range(sg):
+        if merged_wg:
+            for k in range(merged_wg + ka):               # merged A∪B span
+                in_specs.append(pl.BlockSpec(
+                    (1, hidden, LANE),
+                    lambda i, s, j=j, k=k: (s[i * sg + j] + k, 0, 0),
+                    memory_space=pltpu.VMEM))
+            continue
         for k in range(ka):                               # A windows (y0)
             in_specs.append(pl.BlockSpec(
                 (1, hidden, LANE),
@@ -280,7 +299,7 @@ def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
                                      memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_swg_kernel_t, n_blocks, readout, activation,
-                               ka, sg, n_freq, base_freq, msplit)
+                               ka, sg, n_freq, base_freq, msplit, merged_wg)
     head_b2 = head_bias.reshape(hidden, 1)
     return pl.pallas_call(
         kernel,
@@ -294,7 +313,7 @@ def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
         out_shape=jax.ShapeDtypeStruct((out_dim, n), jnp.float32),
         interpret=interpret,
     )(s_blocks, posdir_t, head_pad_t, head_b2,
-      *([img_grouped_t] * (2 * ka * sg)), *flat_weights_t)
+      *([img_grouped_t] * nwin), *flat_weights_t)
 
 
 def head_pad_transposed(head_kernel, dim: int, n_freq: int):

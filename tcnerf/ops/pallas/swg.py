@@ -157,7 +157,7 @@ def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
     is [hidden, 128] with column j holding head-kernel row perm(j) and zero
     columns past the encoding width (so uninitialized scratch rows cannot
     leak through).
-    pdt: [16, BQ] f32 = (pos xyz, dir xyz, ax, ay, keys, 7 pad rows)
+    pdt: [8, BQ] f32 = (pos xyz, dir xyz, packed 11-bit ax/ay pair, keys)
     sorted — the keys ride as exact f32 (< 2^24) because Mosaic block
     sublane dims must be multiples of 8.
 
@@ -214,9 +214,12 @@ def _swg_kernel_t(n_blocks: int, readout: bool, activation: str, ka: int,
         for j in range(sg):
             cols = pl.ds(j * sub, sub)
             base_j = (s_ref[i * sg + j] * LANE).astype(jnp.float32)
-            l_f = pdt_ref[8:9, cols] - base_j
-            ax = pdt_ref[6:7, cols]
-            ay = pdt_ref[7:8, cols]
+            l_f = pdt_ref[7:8, cols] - base_j
+            # row 6 packs both 11-bit lerp fractions (see swg_rows)
+            axay = pdt_ref[6:7, cols]
+            hi = jnp.floor(axay * (1.0 / 2048.0))
+            ax = hi * (1.0 / 2048.0)
+            ay = (axay - hi * 2048.0) * (1.0 / 2048.0)
             tri = jnp.maximum(0.0, 1.0 - jnp.abs(ids - (l_f + ax))).astype(dt)
             boff = ka if not merged_wg else merged_wg
             winA = jnp.concatenate(
@@ -248,7 +251,7 @@ def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
                      sg: int = 1, msplit: int = 1, interpret: bool = False):
     """Transposed fused kernel over pre-sorted queries.
 
-    posdir_t: [16, N] f32 (pos, dir, ax, ay, keys-as-f32, zero pad);
+    posdir_t: [8, N] f32 (pos, dir, packed ax/ay, keys-as-f32);
     img_grouped_t: [G, hidden, 128] (prepare_image_t); head_pad_t:
     [hidden, 128]; flat_weights_t: pre-transposed chain weights
     (W^T [out, in], bias [out, 1]) + readout pair; s_blocks: [N/(bq/sg)]
@@ -262,7 +265,7 @@ def swg_gather_mlp_t(s_blocks, posdir_t, img_grouped_t,
     out_dim = flat_weights_t[-2].shape[0] if readout else hidden
 
     in_specs = [
-        pl.BlockSpec((16, bq), lambda i, s: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, bq), lambda i, s: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((hidden, LANE), lambda i, s: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((hidden, 1), lambda i, s: (0, 0),
@@ -536,18 +539,37 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
         ax = jnp.concatenate([ax, zf])
         ay = jnp.concatenate([ay, zf])
 
-    orig = jnp.arange(n_pad, dtype=jnp.int32)
-    (keys_s, orig_s, ax_s, ay_s, px, py, pz, dx, dy, dz) = jax.lax.sort(
-        (keys, orig, ax, ay,
-         positions[:, 0], positions[:, 1], positions[:, 2],
-         directions[:, 0], directions[:, 1], directions[:, 2]), num_keys=1)
-
     # The transposed kernel carries pixel keys as f32 (Mosaic sublane dims
-    # must be multiples of 8, so they ride in the [16, BQ] pdt block): exact
+    # must be multiples of 8, so they ride in the [8, BQ] pdt block): exact
     # only while the largest key < 2^24. Larger images route to the row-major
     # kernel whose keys stay int32 (same math, modestly slower head).
     keys_exact_f32 = h_real * w_pad < 2 ** 24
     use_transposed = fast and embed_direction_vector and keys_exact_f32
+
+    orig = jnp.arange(n_pad, dtype=jnp.int32)
+    if use_transposed:
+        # Quantize the lerp fractions to 11 bits each and pack both into ONE
+        # exact-in-f32 lane (<= 2047*2048+2047 < 2^23): one sort operand and
+        # one pdt row instead of two. 2^-11 fraction steps sit below the
+        # bf16 triangle/lerp resolution (2^-9) this path already rounds to,
+        # so the serving output is unchanged at its own noise floor. The
+        # row-major/fallback paths keep exact f32 fractions.
+        qx = jnp.floor(ax * 2048.0)
+        qy = jnp.floor(ay * 2048.0)
+        (keys_s, orig_s, axay_s, px, py, pz, dx, dy, dz) = jax.lax.sort(
+            (keys, orig, qx * 2048.0 + qy,
+             positions[:, 0], positions[:, 1], positions[:, 2],
+             directions[:, 0], directions[:, 1], directions[:, 2]),
+            num_keys=1)
+        hi = jnp.floor(axay_s * (1.0 / 2048.0))
+        ax_s = hi * (1.0 / 2048.0)
+        ay_s = (axay_s - hi * 2048.0) * (1.0 / 2048.0)
+    else:
+        (keys_s, orig_s, ax_s, ay_s, px, py, pz, dx, dy, dz) = jax.lax.sort(
+            (keys, orig, ax, ay,
+             positions[:, 0], positions[:, 1], positions[:, 2],
+             directions[:, 0], directions[:, 1], directions[:, 2]),
+            num_keys=1)
     # sub MUST follow the kernel actually taken: the row-major kernel reads
     # one window base per bq-block, so per-SUBgroup bases (sub < bq) would
     # misalign every block past the first — silently gathering zeros
@@ -595,10 +617,8 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
             # image/weight artifacts are invariants; callers rendering many
             # chunks precompute them once (swg_prepare) so they are not
             # rebuilt inside scan/cond bodies where XLA cannot hoist them.
-            zero = jnp.zeros_like(ax_s)
-            pdt = jnp.stack([px, py, pz, dx, dy, dz, ax_s, ay_s,
-                             keys_s.astype(jnp.float32)]
-                            + [zero] * 7, axis=0)
+            pdt = jnp.stack([px, py, pz, dx, dy, dz, axay_s,
+                             keys_s.astype(jnp.float32)], axis=0)
             img_t = (jnp.transpose(img_grouped, (0, 2, 1))
                      if img_grouped_t is None else img_grouped_t)
             head_pt = (head_pad_transposed(head_kernel, 3, n_freq).astype(dt)
@@ -661,7 +681,33 @@ def swg_rows(img_grouped, w_pad: int, w_groups: int, w_real: int, h_real: int,
             out_s = jax.lax.cond(n_over_q > 0, do_patch,
                                  lambda o: o, out_s)
         # un-permute the narrow outputs with a second sort (cheaper than a
-        # scattered row gather at this row count — tools/bench_gather4.py)
+        # scattered row gather at this row count — tools/bench_gather4.py).
+        # On the bf16 serving path the four f32 readout logits ride as two
+        # bf16-pair int32 lanes (half the payload, 3 sort operands instead
+        # of 5); the rounding is the same bf16 resolution the path's
+        # matmuls already run at. Exact paths keep the 5-operand sort.
+        if use_transposed and out_s.shape[1] == 4:
+            def pack2(a, b):
+                ha = jax.lax.bitcast_convert_type(
+                    a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+                hb = jax.lax.bitcast_convert_type(
+                    b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+                return ((ha << 16) | hb).astype(jnp.int32)
+
+            def unpack2(p):
+                u = p.astype(jnp.uint32)
+                a = jax.lax.bitcast_convert_type(
+                    (u >> 16).astype(jnp.uint16), jnp.bfloat16)
+                b = jax.lax.bitcast_convert_type(
+                    (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+                return a.astype(jnp.float32), b.astype(jnp.float32)
+
+            _, p01, p23 = jax.lax.sort(
+                (orig_s, pack2(out_s[:, 0], out_s[:, 1]),
+                 pack2(out_s[:, 2], out_s[:, 3])), num_keys=1)
+            o0, o1 = unpack2(p01)
+            o2, o3 = unpack2(p23)
+            return jnp.stack([o0, o1, o2, o3], axis=-1)
         cols = [out_s[:, j] for j in range(out_s.shape[1])]
         unsorted = jax.lax.sort((orig_s, *cols), num_keys=1)
         return jnp.stack(unsorted[1:], axis=-1)

@@ -354,13 +354,19 @@ class TestChunkedTrainStep:
                                  + jnp.mean((labels[:, sl] - fine_rgb) ** 2))
             return total / n_chunks + aux
 
-        l_ref, g_ref = jax.value_and_grad(manual_loss)(params)
+        # pin matmul precision: on the TPU backend the default bf16 matmuls
+        # round differently between the scan+checkpoint graph and the manual
+        # loop (observed rel diff 8e-5 > rtol on the real chip); HIGHEST makes
+        # both paths f32 so only benign fusion-order noise remains
+        with jax.default_matmul_precision("highest"):
+            l_ref, g_ref = jax.value_and_grad(manual_loss)(params)
 
-        state = T.TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                             opt_state=T.make_nerf_optimizer().init(params),
-                             tx=T.make_nerf_optimizer(), apply_fn=model.apply)
-        _, metrics = T.nerf_train_step(state, inputs, labels, key,
-                                       ray_chunk=ray_chunk)
+            state = T.TrainState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                opt_state=T.make_nerf_optimizer().init(params),
+                tx=T.make_nerf_optimizer(), apply_fn=model.apply)
+            _, metrics = T.nerf_train_step(state, inputs, labels, key,
+                                           ray_chunk=ray_chunk)
         np.testing.assert_allclose(float(metrics["loss"]), float(l_ref),
                                    rtol=1e-5)
 
@@ -371,7 +377,8 @@ class TestChunkedTrainStep:
         import functools as _ft
         grad_fn = jax.grad(lambda p: _chunked_loss(model, p, inputs, labels,
                                                    key, ray_chunk))
-        g_chunk = grad_fn(params)
+        with jax.default_matmul_precision("highest"):
+            g_chunk = grad_fn(params)
         # scan-vs-python-loop accumulation order: observed max abs diff
         # ~2e-5 on 0.1% of elements (f32)
         jax.tree_util.tree_map(

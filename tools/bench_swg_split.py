@@ -102,18 +102,20 @@ def main():
             if level == 0:
                 return (keys.astype(jnp.float32).sum() + ax.sum() + ay.sum()
                         + pos.sum() + dirs.sum())
+            qx = jnp.floor(ax * 2048.0)
+            qy = jnp.floor(ay * 2048.0)
             srt = jax.lax.sort(
-                (keys, orig, ax, ay, pos[:, 0], pos[:, 1], pos[:, 2],
+                (keys, orig, qx * 2048.0 + qy,
+                 pos[:, 0], pos[:, 1], pos[:, 2],
                  dirs[:, 0], dirs[:, 1], dirs[:, 2]), num_keys=1)
-            (keys_s, orig_s, ax_s, ay_s, px, py, pz, dx, dy, dz) = srt
+            (keys_s, orig_s, axay_s, px, py, pz, dx, dy, dz) = srt
             sub = bq // sg
             s_blocks = keys_s[::sub] // LANE
             if level == 1:
                 return (keys_s.astype(jnp.float32).sum() + px.sum()
                         + s_blocks.astype(jnp.float32).sum())
-            zero = jnp.zeros_like(ax_s)
-            pdt = jnp.stack([px, py, pz, dx, dy, dz, ax_s, ay_s,
-                             keys_s.astype(jnp.float32)] + [zero] * 7, axis=0)
+            pdt = jnp.stack([px, py, pz, dx, dy, dz, axay_s,
+                             keys_s.astype(jnp.float32)], axis=0)
             out_t = swg_gather_mlp_t(
                 s_blocks, pdt, img_t, head_pt, head_b, flat_t, w_groups,
                 n_blocks, n_freq=10, readout=True, ka=ka, bq=bq, sg=sg,

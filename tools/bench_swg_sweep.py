@@ -80,12 +80,13 @@ def main():
     keys = (y0.astype(np.int64) * w_pad + x0.astype(np.int64))
     order = np.argsort(keys, kind="stable")
     keys_s = keys[order]
-    pdt_np = np.zeros((16, n), np.float32)
+    pdt_np = np.zeros((8, n), np.float32)
     pdt_np[0:3] = pos[order].T
     pdt_np[3:6] = dirs[order].T
-    pdt_np[6] = (x - x0)[order]
-    pdt_np[7] = (y - y0)[order]
-    pdt_np[8] = keys_s.astype(np.float32)
+    qx = np.floor((x - x0)[order] * 2048.0)
+    qy = np.floor((y - y0)[order] * 2048.0)
+    pdt_np[6] = qx * 2048.0 + qy
+    pdt_np[7] = keys_s.astype(np.float32)
     pdt = jnp.asarray(pdt_np)
 
     import ast

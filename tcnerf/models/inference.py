@@ -84,13 +84,15 @@ def _render_all_rays_swg(params, src_images, src_intrinsics,
 
     def render_chunk(args):
         ro, rd, key = args
-        # tuned round-3 knobs (docs/perf_notes.md): narrow fine windows with
-        # block-level patch repair, wider coarse windows, 4 interleaved
+        # tuned round-3 knobs (docs/perf_notes.md): narrow fine AND coarse
+        # windows with a large block-level patch-repair capacity (the swept
+        # optimum — repair prices sparse subgroups at ~1.6% of chain work,
+        # window width prices them into every subgroup's DMA), 4 interleaved
         # chain streams
         rgb, depth, fine_rgb, fine_depth, n_of = swg_render_chunk(
             prepared, ro, rd, src_intrinsics, src_extrinsics_inv, key,
             n_samples=n_samples, near=near, far=far, n_blocks=n_blocks,
-            ka=4, bq=1024, sg=8, ka_c=12, sg_c=8, msplit=4, patch_cap=8192)
+            ka=4, bq=1024, sg=8, ka_c=6, sg_c=8, msplit=4, patch_cap=32768)
         return fine_rgb[0], fine_depth[0], n_of
 
     fine_rgb, fine_depth, n_of = jax.lax.map(render_chunk,

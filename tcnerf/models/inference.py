@@ -84,15 +84,20 @@ def _render_all_rays_swg(params, src_images, src_intrinsics,
 
     def render_chunk(args):
         ro, rd, key = args
-        # tuned round-3 knobs (docs/perf_notes.md): narrow fine AND coarse
-        # windows with a large block-level patch-repair capacity (the swept
-        # optimum — repair prices sparse subgroups at ~1.6% of chain work,
-        # window width prices them into every subgroup's DMA), 4 interleaved
-        # chain streams
+        # tuned round-3 knobs (docs/perf_notes.md): narrow windows with a
+        # large block-level patch-repair capacity (the swept optimum —
+        # repair prices sparse subgroups at ~1.6% of chain work, window
+        # width prices them into every subgroup's DMA), 4 interleaved chain
+        # streams. Fine ka=6 (not the bench's 4): full-image renders can
+        # pair WIDE-baseline views — measured on the 100°-arc rig (views
+        # ~47° apart), fine ka=4 strands ~35k queries/chunk in overflowing
+        # subgroups (past any sane cap, every chunk falls back ~3x slower)
+        # while ka=6 leaves ~256; the narrow-window win only exists on
+        # near-adjacent serving geometry.
         rgb, depth, fine_rgb, fine_depth, n_of = swg_render_chunk(
             prepared, ro, rd, src_intrinsics, src_extrinsics_inv, key,
             n_samples=n_samples, near=near, far=far, n_blocks=n_blocks,
-            ka=4, bq=1024, sg=8, ka_c=6, sg_c=8, msplit=4, patch_cap=32768)
+            ka=6, bq=1024, sg=8, ka_c=6, sg_c=8, msplit=4, patch_cap=32768)
         return fine_rgb[0], fine_depth[0], n_of
 
     fine_rgb, fine_depth, n_of = jax.lax.map(render_chunk,

@@ -739,3 +739,33 @@ class TestSortedWindowGather:
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        rtol=3e-2, atol=2e-2)
+
+
+class TestWindowChooser:
+    def test_choose_swg_windows_tracks_baseline(self):
+        """choose_swg_windows (models/inference.py): window width must track
+        the source/target baseline — a wide-baseline pair on the capture arc
+        needs wider sorted windows than an adjacent pair (measured: fine
+        ka=4 strands ~35k queries/chunk past the patch capacity at ~47°
+        separation, silently putting every render chunk on the ~3x exact
+        fallback), and results are cached per pair."""
+        from tcnerf.data.synthetic import camera_ring
+        from tcnerf.models.inference import choose_swg_windows
+
+        cfgs = camera_ring(16, azimuth_span=np.deg2rad(100))
+
+        def pair(si, ti):
+            src, tgt = cfgs[si], cfgs[ti]
+            return (src["intrinsics"].reshape(3, 3).astype(np.float32),
+                    np.linalg.inv(src["pose"]).astype(np.float32),
+                    tgt["pose"].astype(np.float32),
+                    tgt["intrinsics"].reshape(3, 3).astype(np.float32))
+
+        args = (480, 640, 0.55, 1.8, 64, 8192)
+        wide = choose_swg_windows(*pair(5, 12), *args)
+        adj = choose_swg_windows(*pair(5, 6), *args)
+        assert wide[0] >= 6, f"wide baseline must widen fine windows: {wide}"
+        assert adj[0] <= wide[0], (adj, wide)
+        assert all(4 <= k <= 16 for k in wide + adj)
+        # cache: same pair returns the identical tuple without recompute
+        assert choose_swg_windows(*pair(5, 12), *args) == wide

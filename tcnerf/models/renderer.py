@@ -66,6 +66,16 @@ class MVNeRFRenderer(nn.Module):
     clip_width: int = 64
     clip_embed_dim: int = 1024
     clip_image_size: int = 224
+    # v3/v4 fusion-decoder flavor. The reference stage-1 renderer uses the
+    # defaults (model_v4.py:31 `CombineCLIPVisualV4()` = relu, no dense text
+    # projection) while LanguageNeRF builds it with use_dense=True +
+    # activation='elu' (lmvnerf/model_v4.py:58) — the two param trees DIFFER,
+    # so a stage-1 checkpoint meant to serve as a language backbone
+    # (LanguageNeRF.load_backbone restores _combine_clip_visual,
+    # lmvnerf/model_v4.py:131-152) must be trained with the language flavor.
+    # Set these from the config when pretraining a language backbone.
+    fusion_use_dense: bool = False
+    fusion_activation: str = "relu"
     # pre-projected corner-row gather: fold layer_0's feature-kernel slice
     # into the feature image and fetch each sample's four bilinear corners as
     # ONE gathered row (XLA's TPU row gather is row-count-limited; ~2.8x on
@@ -117,7 +127,12 @@ class MVNeRFRenderer(nn.Module):
                 layers=tuple(self.clip_layers), width=self.clip_width,
                 output_dim=self.clip_embed_dim,
                 heads=max(self.clip_width // 2, 1), dtype=self.dtype)
-            self.combine_clip_visual = FUSIONS[self.fusion](dtype=self.dtype)
+            if self.fusion in ("v3", "v4"):
+                self.combine_clip_visual = FUSIONS[self.fusion](
+                    use_dense=self.fusion_use_dense,
+                    activation=self.fusion_activation, dtype=self.dtype)
+            else:
+                self.combine_clip_visual = FUSIONS[self.fusion](dtype=self.dtype)
 
     # ------------------------------------------------------------- feature path
 

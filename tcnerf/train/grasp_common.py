@@ -75,11 +75,29 @@ def init_grasp_state(model, cfg, sample_inputs, seed=0):
         model, params, learning_rate=cfg.grasp_training.learning_rate)
 
 
-def load_backbone(state, cfg):
+def load_backbone(state, cfg, fusion: bool = False):
     """Load the frozen NeRF backbone (mandatory in the reference,
     train_goal.py:58-62; here a missing backbone falls back to random init with
-    a warning so synthetic end-to-end runs work out of the box)."""
+    a warning so synthetic end-to-end runs work out of the box).
+
+    Language models additionally restore the stage-1 fusion decoder
+    (reference LanguageNeRF.load_backbone requires _combine_clip_visual,
+    lmvnerf/model_v4.py:131-152); when the backbone checkpoint lacks it
+    (e.g. a 'without' pretrain) we degrade to the bare backbone with a
+    warning instead of failing outright."""
     backbone = os.path.join(cfg.grasp_training.backbone_path, "model_final")
+    if fusion:
+        try:
+            restored = ckpt.load(
+                backbone, state.params,
+                ckpt.BACKBONE_COMPONENTS + ("combine_clip_visual",))
+        except Exception:  # noqa: BLE001 — stage-1 decoder flavor mismatch
+            restored = None
+        if restored is not None:
+            logger.info(f"Backbone (+fusion decoder) loaded from {backbone}.")
+            return state.replace(params=restored), True
+        logger.warning(f"No fusion decoder at {backbone} (or shape mismatch); "
+                       "trying the bare backbone.")
     restored = ckpt.load(backbone, state.params, ckpt.BACKBONE_COMPONENTS)
     if restored is not None:
         logger.info(f"Backbone loaded from {backbone}.")

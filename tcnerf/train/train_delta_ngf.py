@@ -87,7 +87,7 @@ def run_delta_training(cfg, generator_cls=DeltaNGFDataGenerator, sync=True,
             model, params, learning_rate=cfg.grasp_training.learning_rate)
     else:
         state = init_grasp_state(model, cfg, init_inputs, cfg.get("seed", 0))
-    state, _ = load_backbone(state, cfg)
+    state, _ = load_backbone(state, cfg, fusion=fusion is not None)
     state = resume_or_init(state, cfg)
 
     pose_optimizer = build_pose_optimizer(model, state, cfg)

@@ -49,6 +49,11 @@ def build_model(cfg, fusion=None):
         clip_width=nm.get("clip_width", 64),
         clip_embed_dim=nm.get("clip_embed_dim", 1024),
         clip_image_size=nm.get("clip_image_size", 224),
+        # language-backbone pretraining sets these to the LanguageNeRF
+        # fusion flavor (use_dense=True, elu) so the stage-1 decoder loads
+        # into the grasp stage (see MVNeRFRenderer.fusion_use_dense)
+        fusion_use_dense=nm.get("fusion_use_dense", False),
+        fusion_activation=nm.get("fusion_activation", "relu"),
         # training defaults (overridable via nerf_model.*): remat the MLP
         # chains + encoder so full-scale fwd+bwd fits HBM, and keep the
         # reference-shaped scattered gather — the corner-gather serving

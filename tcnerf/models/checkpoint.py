@@ -89,6 +89,28 @@ def load_tf(path: str, params: Dict, components: Iterable[str]) -> Dict:
     return new_params
 
 
+def store_meta(path: str, meta: Dict) -> None:
+    """Sidecar metadata (`<path>_meta.json`) recording the model flavor the
+    checkpoint was trained with — the param tree alone cannot distinguish an
+    activation-only flavor difference (e.g. a v4 decoder trained with relu
+    deserializes cleanly into the elu decoder the grasp stage hardcodes and
+    runs with the wrong nonlinearity; ADVICE r3)."""
+    import json
+
+    with open(f"{path}_meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_meta(path: str) -> Optional[Dict]:
+    import json
+
+    try:
+        with open(f"{path}_meta.json") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def store_tf(path: str, params: Dict, components: Iterable[str]) -> None:
     """Export components in the reference's TF tensor-bundle layout so
     reference tooling can consume tcnerf-trained weights."""

@@ -68,31 +68,62 @@ def build_grasp_model(cfg, n_points_train: Optional[int] = None,
     return GraspEBM(**kwargs)
 
 
-def init_grasp_state(model, cfg, sample_inputs, seed=0):
+def init_grasp_state(model, cfg, sample_inputs, seed=0,
+                     trainable=("grasp_readout",)):
     """Init params from one example batch and wrap in a GraspTrainState."""
     params = model.init(jax.random.PRNGKey(seed), *sample_inputs)["params"]
     return GT.create_grasp_train_state(
-        model, params, learning_rate=cfg.grasp_training.learning_rate)
+        model, params, learning_rate=cfg.grasp_training.learning_rate,
+        trainable=trainable)
 
 
 def load_backbone(state, cfg, fusion: bool = False):
     """Load the frozen NeRF backbone (mandatory in the reference,
-    train_goal.py:58-62; here a missing backbone falls back to random init with
-    a warning so synthetic end-to-end runs work out of the box).
+    train_goal.py:58-62; here a missing backbone falls back to random init
+    with a warning so synthetic end-to-end runs work out of the box, unless
+    grasp_training.require_backbone=true restores the reference's
+    FileNotFoundError strictness).
 
     Language models additionally restore the stage-1 fusion decoder
     (reference LanguageNeRF.load_backbone requires _combine_clip_visual,
     lmvnerf/model_v4.py:131-152); when the backbone checkpoint lacks it
     (e.g. a 'without' pretrain) we degrade to the bare backbone with a
-    warning instead of failing outright."""
+    warning instead of failing outright. The checkpoint's flavor sidecar
+    (`model_final_meta.json`, written by train_nerf) is validated when
+    present — an activation-only mismatch (relu-trained decoder loading
+    into the elu decoder GraspEBM hardcodes) deserializes cleanly and is
+    otherwise undetectable (ADVICE r3)."""
+    require = cfg.grasp_training.get("require_backbone", False)
     backbone = os.path.join(cfg.grasp_training.backbone_path, "model_final")
+    meta = ckpt.load_meta(backbone)
     if fusion:
-        try:
-            restored = ckpt.load(
-                backbone, state.params,
-                ckpt.BACKBONE_COMPONENTS + ("combine_clip_visual",))
-        except Exception:  # noqa: BLE001 — stage-1 decoder flavor mismatch
-            restored = None
+        flavor_ok = True
+        if meta is not None:
+            want = {"fusion_use_dense": True, "fusion_activation": "elu"}
+            mismatches = {k: (meta.get(k), v) for k, v in want.items()
+                          if meta.get(k) != v}
+            if mismatches:
+                flavor_ok = False
+                msg = (f"Backbone at {backbone} was trained with the wrong "
+                       f"fusion-decoder flavor for the language stage "
+                       f"(got vs want: {mismatches}); the param trees may "
+                       f"still coincide, so this would train with the wrong "
+                       f"nonlinearity.")
+                if require:
+                    raise ValueError(msg)
+                logger.warning(msg + " Falling back to the bare backbone.")
+        restored = None
+        if flavor_ok:
+            try:
+                restored = ckpt.load(
+                    backbone, state.params,
+                    ckpt.BACKBONE_COMPONENTS + ("combine_clip_visual",))
+            except ValueError as e:
+                # flax deserialization mismatch = stage-1 decoder flavor
+                # differs structurally; anything else (I/O, corrupt file)
+                # propagates instead of silently training on random fusion
+                logger.warning(f"Fusion decoder at {backbone} does not match "
+                               f"this model's param tree: {e}")
         if restored is not None:
             logger.info(f"Backbone (+fusion decoder) loaded from {backbone}.")
             return state.replace(params=restored), True
@@ -102,16 +133,29 @@ def load_backbone(state, cfg, fusion: bool = False):
     if restored is not None:
         logger.info(f"Backbone loaded from {backbone}.")
         return state.replace(params=restored), True
+    if require:
+        raise FileNotFoundError(
+            f"Backbone not found at {backbone} and "
+            f"grasp_training.require_backbone=true (reference strictness, "
+            f"train_goal.py:58-62)")
     logger.warning(f"Backbone not found at {backbone}; using random backbone.")
     return state, False
 
 
-def resume_or_init(state, cfg):
+def resume_or_init(state, cfg, extra_components=()):
+    """Resume from model_final. `extra_components` (e.g. combine_clip_visual
+    for fusion models) are restored when the checkpoint has them; an older
+    checkpoint without them still resumes its core components."""
     model_checkpoint = os.path.join(cfg.grasp_training.model_path, "model_final")
-    restored = ckpt.load(model_checkpoint, state.params, ckpt.GRASP_COMPONENTS)
-    if restored is not None:
-        logger.info(f"Model loaded from {model_checkpoint}.")
-        return state.replace(params=restored)
+    for components in (ckpt.GRASP_COMPONENTS + tuple(extra_components),
+                       ckpt.GRASP_COMPONENTS):
+        restored = ckpt.load(model_checkpoint, state.params, components)
+        if restored is not None:
+            logger.info(f"Model loaded from {model_checkpoint} "
+                        f"({len(components)} component groups).")
+            return state.replace(params=restored)
+        if not extra_components:
+            break
     return state
 
 

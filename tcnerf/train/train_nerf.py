@@ -63,6 +63,15 @@ def build_model(cfg, fusion=None):
         corner_gather=nm.get("corner_gather", False),
         remat=nm.get("remat", True),
         pallas_mlp=nm.get("pallas_mlp", False),
+        # beyond-reference fast per-scene field (nn/hashgrid_field.py);
+        # "pixel" = reference parity
+        field=nm.get("field", "pixel"),
+        hashgrid_levels=nm.get("hashgrid_levels", 16),
+        hashgrid_table_log2=nm.get("hashgrid_table_log2", 14),
+        hashgrid_hidden=nm.get("hashgrid_hidden", 64),
+        hashgrid_layers=nm.get("hashgrid_layers", 3),
+        hashgrid_bounds=tuple(tuple(b) for b in nm.get(
+            "hashgrid_bounds", ((-0.2, 1.2), (-0.8, 0.8), (-0.4, 1.0)))),
     )
 
 
@@ -143,6 +152,14 @@ def train_model(model, state, data_generator, cfg, valid_data, rng):
         with open(progress_file, "w") as f:
             json.dump({"epoch": e_epoch}, f)
         ckpt.store(model_checkpoint_name, state.params, components)
+        # flavor sidecar: lets load_backbone detect activation-only
+        # mismatches the param tree cannot express (ADVICE r3)
+        ckpt.store_meta(model_checkpoint_name, {
+            "fusion": model.fusion,
+            "fusion_use_dense": model.fusion_use_dense,
+            "fusion_activation": model.fusion_activation,
+            "field": model.field,
+        })
     return state
 
 
@@ -162,8 +179,12 @@ def _main(cfg, fusion=None):
                    azimuth_span_deg=span)
     train_dataset = load_dataset_nerf(cfg.dataset.n_perspectives,
                                       cfg.dataset.path + "/train")
-    valid_dataset = load_dataset_nerf(cfg.dataset.n_perspectives,
-                                      cfg.dataset.path + "/valid")
+    # per-scene fields (nerf_model.field=hashgrid) validate on a HELD-OUT
+    # VIEW of the training scene (the generator never draws it below); the
+    # pixel-conditioned default validates on unseen scenes
+    valid_from_train = cfg.get("valid_from_train", False)
+    valid_dataset = train_dataset if valid_from_train else load_dataset_nerf(
+        cfg.dataset.n_perspectives, cfg.dataset.path + "/valid")
 
     src_idx = cfg.valid_perspective_src_indices[:nm.n_views]
     valid_data = {
@@ -181,6 +202,8 @@ def _main(cfg, fusion=None):
     data_generator = MVNeRFDataGenerator(
         train_dataset, n_rays_train=nm.n_rays_train,
         batch_size=cfg.nerf_training.batch_size, n_views=nm.n_views,
+        exclude_perspectives=((cfg.valid_perspective_tgt_idx,)
+                              if valid_from_train else ()),
         shuffle=True, rng=cfg.get("seed", 0))
 
     model = build_model(cfg, fusion)

@@ -59,6 +59,15 @@ def stage1_and_stage2_params():
 def test_fusion_decoder_loads_into_grasp_stage(tmp_path,
                                                stage1_and_stage2_params):
     r_params, e_params = stage1_and_stage2_params
+    # Perturb the stored decoder so it provably differs from the stage-2
+    # random init: both stages init from PRNGKey(0) and flax folds keys by
+    # module path, so the raw 'combine_clip_visual' inits are bit-identical
+    # across stages — a "restored != random init" check on unperturbed
+    # params would be vacuous. (Seeds must stay equal:
+    # test_frozen_clip_towers_coincide_across_stages relies on it.)
+    r_params = dict(r_params)
+    r_params["combine_clip_visual"] = jax.tree_util.tree_map(
+        lambda x: x + 1.0, r_params["combine_clip_visual"])
     path = str(tmp_path / "model_final")
     ckpt.store(path, r_params, ckpt.RENDERER_COMPONENTS)
 
@@ -81,6 +90,68 @@ def test_frozen_clip_towers_coincide_across_stages(stage1_and_stage2_params):
     by construction — stage 2 sees the same tower stage 1 trained against."""
     r_params, e_params = stage1_and_stage2_params
     _tree_equal(r_params["clip_visual"], e_params["clip_visual"])
+
+
+def _grasp_cfg(backbone_dir, **training):
+    from tcnerf.train.config import Config
+    return Config.wrap({"grasp_training":
+                        dict(backbone_path=str(backbone_dir), **training)})
+
+
+class _FakeState:
+    def __init__(self, params):
+        self.params = params
+
+    def replace(self, params):
+        return _FakeState(params)
+
+
+def test_require_backbone_raises_when_missing(tmp_path,
+                                              stage1_and_stage2_params):
+    """grasp_training.require_backbone restores the reference's strictness
+    (train_goal.py:58-62 FileNotFoundError); ADVICE r3."""
+    from tcnerf.train.grasp_common import load_backbone
+    _, e_params = stage1_and_stage2_params
+    state = _FakeState(dict(e_params))
+    with pytest.raises(FileNotFoundError):
+        load_backbone(state, _grasp_cfg(tmp_path / "nowhere",
+                                        require_backbone=True))
+    # default stays permissive (synthetic out-of-the-box runs)
+    _, loaded = load_backbone(state, _grasp_cfg(tmp_path / "nowhere"))
+    assert not loaded
+
+
+def test_meta_flavor_mismatch_blocks_fusion_decoder(tmp_path,
+                                                    stage1_and_stage2_params):
+    """A relu-flavor stage-1 decoder has the same param tree as the elu one
+    GraspEBM hardcodes — only the sidecar metadata can catch it (ADVICE r3)."""
+    from tcnerf.train.grasp_common import load_backbone
+    r_params, e_params = stage1_and_stage2_params
+    path = str(tmp_path / "model_final")
+    ckpt.store(path, r_params, ckpt.RENDERER_COMPONENTS)
+    ckpt.store_meta(path, {"fusion": "v4", "fusion_use_dense": True,
+                           "fusion_activation": "relu"})
+    state = _FakeState(dict(e_params))
+    # permissive: falls back to the bare backbone (loaded=True, but the
+    # fusion decoder stays at its stage-2 init)
+    new_state, loaded = load_backbone(state, _grasp_cfg(tmp_path),
+                                      fusion=True)
+    assert loaded
+    a = jax.tree_util.tree_leaves(new_state.params["combine_clip_visual"])
+    b = jax.tree_util.tree_leaves(e_params["combine_clip_visual"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # strict: the flavor mismatch is a hard error
+    with pytest.raises(ValueError):
+        load_backbone(state, _grasp_cfg(tmp_path, require_backbone=True),
+                      fusion=True)
+    # correct flavor passes through
+    ckpt.store_meta(path, {"fusion": "v4", "fusion_use_dense": True,
+                           "fusion_activation": "elu"})
+    _, loaded = load_backbone(state, _grasp_cfg(tmp_path,
+                                                require_backbone=True),
+                              fusion=True)
+    assert loaded
 
 
 def test_load_backbone_degrades_without_fusion_decoder(tmp_path,

@@ -70,11 +70,18 @@ class DataGenerator:
 class MVNeRFDataGenerator(DataGenerator):
     """Ray batches for NeRF pretraining (reference mvnerf.py:10-100)."""
 
-    def __init__(self, dataset, n_rays_train=512, batch_size=1, n_views=2, **kwargs):
+    def __init__(self, dataset, n_rays_train=512, batch_size=1, n_views=2,
+                 exclude_perspectives=(), **kwargs):
         super().__init__(dataset, batch_size, **kwargs)
         self.n_rays_train = n_rays_train
         self.n_views = n_views
         self.n_perspectives = self.dataset.datasets["color"].n_perspectives
+        # perspectives the generator must never draw (source or target) —
+        # lets per-scene runs (field=hashgrid) hold out a validation VIEW of
+        # the training scene instead of a separate validation scene
+        self.perspective_pool = np.setdiff1d(
+            np.arange(self.n_perspectives), np.asarray(exclude_perspectives,
+                                                       dtype=np.int64))
 
     def generate_rays(self, color, camera_config):
         intr3 = np.reshape(camera_config["intrinsics"], (3, 3)).astype(np.float32)
@@ -112,8 +119,8 @@ class MVNeRFDataGenerator(DataGenerator):
     def get_data(self, batch):
         ray_os, ray_ds, srcs, intrs, exts, targets = [], [], [], [], [], []
         for i in batch:
-            indices = self.rng.choice(self.n_perspectives, size=self.n_views + 1,
-                                      replace=False)
+            indices = self.rng.choice(self.perspective_pool,
+                                      size=self.n_views + 1, replace=False)
             src_indices, tgt_index = indices[:-1], indices[-1]
             tgt_color = self.dataset.datasets["color"].read_sample_at_idx(
                 i, tgt_index)[..., :3]

@@ -66,6 +66,18 @@ class MVNeRFRenderer(nn.Module):
     clip_width: int = 64
     clip_embed_dim: int = 1024
     clip_image_size: int = 224
+    # Field flavor: "pixel" = the reference's pixel-conditioned field
+    # (projected per-view image features + 6-block 128-wide MLP,
+    # layers.py:334-379) — the parity default. "hashgrid" = the
+    # beyond-reference fast per-scene field (nn/hashgrid_field.py): hash
+    # encoding + small MLP; source images/features are ignored at render
+    # time and the encoder towers never run.
+    field: str = "pixel"
+    hashgrid_levels: int = 16
+    hashgrid_table_log2: int = 14
+    hashgrid_hidden: int = 64
+    hashgrid_layers: int = 3
+    hashgrid_bounds: Tuple = ((-0.2, 1.2), (-0.8, 0.8), (-0.4, 1.0))
     # v3/v4 fusion-decoder flavor. The reference stage-1 renderer uses the
     # defaults (model_v4.py:31 `CombineCLIPVisualV4()` = relu, no dense text
     # projection) while LanguageNeRF builds it with use_dense=True +
@@ -99,6 +111,18 @@ class MVNeRFRenderer(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
+        if self.field == "hashgrid":
+            from ..nn.hashgrid_field import HashGridField
+            fld = dict(n_levels=self.hashgrid_levels,
+                       table_size_log2=self.hashgrid_table_log2,
+                       bounds=tuple(tuple(b) for b in self.hashgrid_bounds),
+                       hidden_size=self.hashgrid_hidden,
+                       n_layers=self.hashgrid_layers, dtype=self.dtype)
+            self.coarse_embedding = HashGridField(**fld)
+            self.coarse_readout = RenderReadout(4, dtype=self.dtype)
+            self.fine_embedding = HashGridField(**fld)
+            self.fine_readout = RenderReadout(4, dtype=self.dtype)
+            return
         emb_cls = MVResNetMLPEmbedding
         vf_cls = VisualFeatures
         if self.remat:
@@ -147,6 +171,13 @@ class MVNeRFRenderer(nn.Module):
         CLIP tower (tcnerf.clip); for 'without' the visual features are
         upsampled 2x (reference model_without.py:75-79).
         """
+        if self.field == "hashgrid":
+            # the hash-grid field ignores image features entirely — return an
+            # empty feature map so callers (train step's chunked path,
+            # inference) keep a uniform signature without running the towers
+            n = src_images_flat.shape[0]
+            empty = jnp.zeros((n, 1, 1, 0), src_images_flat.dtype)
+            return empty, jnp.array(0.0, src_images_flat.dtype)
         vis = self.encode(src_images_flat)
         if self.fusion == "without":
             n, h, w, c = vis.shape
@@ -181,7 +212,7 @@ class MVNeRFRenderer(nn.Module):
         key_f = self.make_rng("sampling")
 
         corner_c = corner_f = None
-        if self.corner_gather:
+        if self.corner_gather and self.field != "hashgrid":
             # fold each stage's layer_0 feature-kernel slice into the image
             # (once per render; loop-invariant under any chunk scan), then
             # stack the four bilinear corners into one row per pixel so the
@@ -196,8 +227,13 @@ class MVNeRFRenderer(nn.Module):
 
         world_points, z = sampling.sample_along_ray(
             key_c, ray_origins, ray_directions, self.near, self.far, self.n_samples)
-        cam_dirs = projection.world_to_camera_directions_mv(
-            ray_directions, src_extrinsics_inv)  # [B, V, R, 3]
+        if self.field == "hashgrid":
+            # per-scene field: condition color on the WORLD-frame ray
+            # direction (classic NeRF), not per-view camera directions
+            cam_dirs = ray_directions[:, None]  # [B, 1, R, 3]
+        else:
+            cam_dirs = projection.world_to_camera_directions_mv(
+                ray_directions, src_extrinsics_inv)  # [B, V, R, 3]
 
         chroma, density = self._field(
             world_points, z, cam_dirs, normalized, src_intrinsics,
@@ -228,6 +264,10 @@ class MVNeRFRenderer(nn.Module):
                src_extrinsics_inv, combined_features, embedding, readout,
                corner_img=None):
         b, r, s, _ = world_points.shape
+        if self.field == "hashgrid":
+            dirs = jnp.broadcast_to(cam_dirs[:, 0, :, None, :], (b, r, s, 3))
+            emb = embedding(world_points, dirs)
+            return readout(emb)
         v = normalized_images.shape[1]
         pixel_xy, cam_points = projection.project_points_mv(
             world_points, src_intrinsics, src_extrinsics_inv)

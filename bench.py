@@ -7,13 +7,27 @@ src/configs/nerf_model/default.yaml) — with features precomputed once, exactly
 like the reference's chunked `infer` path (model_v0.py:255-275). The MLP/MXU
 path runs in bfloat16; geometry stays f32.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is relative to the 20M rays/sec/chip north-star (BASELINE.json) —
 the reference publishes no numbers of its own.
+
+Robustness contract (round-3 postmortem: the round-end bench was SIGKILLed
+mid-phase and printed nothing — BENCH_r03.json parsed=null):
+  * all measurement runs in a daemon worker thread; the MAIN thread only
+    waits, so SIGTERM/SIGINT are handled immediately even while the worker
+    blocks in a remote compile;
+  * the JSON line is emitted EXACTLY once — on completion, on signal, or
+    when the internal budget (TCNERF_BENCH_BUDGET_S, default 1500 s)
+    expires — with whatever fields have landed so far (missing ones null);
+  * the headline render phase runs first; secondary phases run in priority
+    order and each checks the remaining budget before starting.
 """
 
 import json
 import os
+import signal
+import sys
+import threading
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -47,18 +61,64 @@ def knob(name: str, default: str) -> str:
 
 CHIP_LOCK = "/tmp/tcnerf_chip_lock"
 
+# ---------------------------------------------------------------- emit-once
 
-def main():
-    # cooperative chip lock: long-running background jobs (the convergence
-    # supervisor) poll this file and stand down while it is fresh, so a
-    # bench invocation — e.g. the round driver's — gets the chip and the
-    # remote compile service to itself. Stale (>30 min) locks are ignored.
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("TCNERF_BENCH_BUDGET_S", "1500"))
+
+RESULTS = {
+    "metric": ("rays/sec/chip (sorted-window fused hierarchical render, "
+               "64+128 samples)"),
+    "value": None,
+    "unit": "rays/s",
+    "vs_baseline": None,
+    "useful_tflops": None,
+    "pct_of_chain_ceiling": None,
+    "swg_overflow_chunks": None,
+    "clip_images_per_sec": None,
+    "train_step_ms_b1": None,
+    "train_step_ms_b8": None,
+    "train_tflops_b8": None,
+    "train_mfu_pct_b8": None,
+    "dngf_train_step_ms_b8": None,
+    "rays_per_sec_3view": None,
+    "rays_per_sec_hashgrid": None,
+    "rays_per_sec_sharded_image": None,
+    "n_devices": None,
+}
+_EMITTED = threading.Event()
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def emit(reason: str):
+    """Print the single JSON result line (exactly once, ever)."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    if reason != "done":
+        print(f"bench: emitting early ({reason}), "
+              f"{time.monotonic() - _T0:.0f}s elapsed", file=sys.stderr)
+    print(json.dumps(RESULTS), flush=True)
     try:
-        with open(CHIP_LOCK, "w") as f:
-            f.write(str(os.getpid()))
+        os.remove(CHIP_LOCK)
     except OSError:
         pass
 
+
+def _signal_handler(signum, frame):
+    emit(f"signal {signum}")
+    # leave no daemon threads mid-compile holding the process open
+    os._exit(0)
+
+
+# -------------------------------------------------------------------- phases
+
+
+def bench_render():
+    """Headline: sorted-window fused hierarchical render (rays/s/chip)."""
     from tcnerf.models.renderer import MVNeRFRenderer
 
     h, w = 480, 640
@@ -129,8 +189,8 @@ def main():
                 # 8192-ray chunks amortize per-call fixed costs; ka=4 fine
                 # windows + msplit=4 independent chain streams with the
                 # block-level patch repairing the ~tens of sparse subgroups
-                # that overflow 512-row windows; ka_c=12 coarse (half the
-                # query density -> double the sorted spans)
+                # that overflow 512-row windows; narrow ka_c=6 coarse windows
+                # under a large patch capacity (adopted sweep knobs)
                 out = swg_render_chunk(
                     prepared, ray_o, ray_d, inputs[3], inputs[4], key,
                     n_samples=64, near=0.3, far=1.3, n_blocks=6,
@@ -162,7 +222,7 @@ def main():
     # warmup/compile (host pull = real sync)
     acc, n_of = render_many(params, inputs[0], inputs[1], keys)
     _ = float(acc)
-    n_overflow = int(n_of)
+    RESULTS["swg_overflow_chunks"] = int(n_of)
 
     n_iters = 5
     # NOTE: end timing with a host transfer — block_until_ready does not
@@ -182,50 +242,30 @@ def main():
     # 192 = 64 coarse + 128 fine samples per ray. The 74 TF/s denominator is
     # this chip's measured ceiling for K=N=128 matmul chains
     # (docs/perf_notes.md) — the speed-of-light for this chain shape.
-    flop_per_sample = 2 * (379 * 128 + 12 * 128 * 128 + 128 * 4)
-    useful_tflops = rays_per_sec * 192 * flop_per_sample / 1e12
-    chain_ceiling_tflops = 74.0
+    useful_tflops = rays_per_sec * 192 * FLOP_PER_SAMPLE / 1e12
 
-    def optional(env, label, thunk):
-        """Secondary metrics must never take down the headline JSON line —
-        report null (and log to stderr) if a phase fails."""
-        if os.environ.get(env, "1") == "0":
-            return None
-        try:
-            return thunk()
-        except Exception as e:  # noqa: BLE001 — deliberate isolation
-            import sys
-            print(f"bench: {label} failed: {e!r}", file=sys.stderr)
-            return None
+    RESULTS["value"] = round(rays_per_sec, 1)
+    RESULTS["vs_baseline"] = round(rays_per_sec / NORTH_STAR, 4)
+    RESULTS["useful_tflops"] = round(useful_tflops, 2)
+    RESULTS["pct_of_chain_ceiling"] = round(
+        100 * useful_tflops / CHAIN_CEILING_TFLOPS, 1)
+    if path != "swg":
+        RESULTS["metric"] = ("rays/sec/chip (fused hierarchical render, "
+                             "64+128 samples)")
 
-    clip_ips = optional("TCNERF_BENCH_CLIP", "clip",
-                        lambda: round(bench_clip(), 1))
-    train_ms = optional("TCNERF_BENCH_TRAIN", "train_b1",
-                        lambda: round(bench_train_step(batch=1), 2))
-    train_b8_ms = optional("TCNERF_BENCH_TRAIN", "train_b8",
-                           lambda: round(bench_train_step(batch=8), 2))
-    dngf_ms = optional("TCNERF_BENCH_TRAIN", "dngf_b8",
-                       lambda: round(bench_dngf_step(batch=8), 2))
-    rays_3view = optional("TCNERF_BENCH_3VIEW", "3view",
-                          lambda: round(bench_3view(), 1))
 
-    print(json.dumps({
-        "metric": ("rays/sec/chip (sorted-window fused hierarchical render, "
-                   "64+128 samples)" if path == "swg" else
-                   "rays/sec/chip (fused hierarchical render, 64+128 samples)"),
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / NORTH_STAR, 4),
-        "useful_tflops": round(useful_tflops, 2),
-        "pct_of_chain_ceiling": round(
-            100 * useful_tflops / chain_ceiling_tflops, 1),
-        "swg_overflow_chunks": n_overflow,
-        "clip_images_per_sec": clip_ips,
-        "train_step_ms_b1": train_ms,
-        "train_step_ms_b8": train_b8_ms,
-        "dngf_train_step_ms_b8": dngf_ms,
-        "rays_per_sec_3view": rays_3view,
-    }))
+# Per-sample MLP-chain forward FLOPs at the reference model shape.
+FLOP_PER_SAMPLE = 2 * (379 * 128 + 12 * 128 * 128 + 128 * 4)
+CHAIN_CEILING_TFLOPS = 74.0
+# VisualFeatures (ViT-B/16 @224^2 + DPT decoder + conv encoder @480x640)
+# forward FLOPs per source image — XLA cost_analysis of the jitted forward
+# (tools/encoder_flops.py; 235,354,587,136 flops). The training step runs
+# this once per source view per step; it DOMINATES train-step FLOPs (the
+# 512-ray x 192-sample MLP path is ~48 GFLOP/sample-batch vs 235 GFLOP/image).
+ENCODER_FWD_FLOPS = 235.354587e9
+# v5e bf16 peak (single chip) — the train-MFU denominator. Serving keeps the
+# measured 74 TF/s K=128-chain ceiling as its sharper denominator.
+PEAK_TFLOPS = 197.0
 
 
 def bench_3view(n_rays: int = 4096, n_chunks: int = 8, iters: int = 3):
@@ -299,6 +339,115 @@ def bench_3view(n_rays: int = 4096, n_chunks: int = 8, iters: int = 3):
     return iters * n_chunks * n_rays / dt
 
 
+def bench_hashgrid(n_rays: int = 8192, n_chunks: int = 8, iters: int = 5):
+    """Hash-grid field render throughput (rays/s) — the beyond-reference
+    "fast field" serving config (BASELINE.json config 4): multiresolution
+    hash encoding (ops/hashgrid.py) + a small MLP replaces the per-view
+    projection/gather + 6-block 128-wide chain. Same hierarchical sampling
+    (64+128), same compositing; the reference-MLP path stays the parity
+    default."""
+    from tcnerf.core.rays import get_specific_rays
+    from tcnerf.data.synthetic import camera_ring
+    from tcnerf.models.renderer import MVNeRFRenderer
+
+    h, w = 480, 640
+    model = MVNeRFRenderer(
+        n_views=1, n_samples=64, n_features=256, near=0.3, far=1.3,
+        original_image_size=(h, w), fusion="without", n_blocks=6,
+        hidden_size=128, field="hashgrid", dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(5)
+    cfg, tgt = camera_ring(2, height=h, width=w)[:2]
+    k4 = np.eye(4, dtype=np.float32)
+    k4[:3, :3] = cfg["intrinsics"].reshape(3, 3)
+    ext_inv = np.linalg.inv(cfg["pose"]).astype(np.float32)
+    pix_x = rng.uniform(0, w - 1, n_rays).astype(np.float32)
+    pix_y = rng.uniform(0, h - 1, n_rays).astype(np.float32)
+    ro, rd = get_specific_rays(pix_x, pix_y, tgt["pose"],
+                               tgt["intrinsics"].reshape(3, 3))
+    ray_o = jnp.asarray(ro[None].astype(np.float32))
+    ray_d = jnp.asarray(rd[None].astype(np.float32))
+    src_images = jnp.asarray(rng.uniform(size=(1, 1, h, w, 3)), jnp.float32)
+    src_intr = jnp.asarray(np.broadcast_to(k4, (1, 1, 4, 4)).copy())
+    src_ext = jnp.asarray(np.broadcast_to(ext_inv, (1, 1, 4, 4)).copy())
+    features = jnp.zeros((1, 1, 1, 1, 0), jnp.bfloat16)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        ray_o, ray_d, src_images, src_intr, src_ext, features,
+        method="render_rays")
+    params = variables["params"]
+
+    @jax.jit
+    def render_many(params, keys):
+        def chunk(carry, key):
+            out = model.apply({"params": params}, ray_o, ray_d, src_images,
+                              src_intr, src_ext, features,
+                              rngs={"sampling": key}, method="render_rays")
+            return carry + jnp.sum(out[2].astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(chunk, jnp.zeros(()), keys)
+        return acc
+
+    keys = jax.random.split(jax.random.PRNGKey(2), n_chunks)
+    _ = float(render_many(params, keys))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = render_many(params, keys)
+    _ = float(out)
+    dt = time.perf_counter() - t0
+    return iters * n_chunks * n_rays / dt
+
+
+def bench_sharded(chunk: int = 4096, iters: int = 3):
+    """Sharded full-image serving over ALL visible devices
+    (parallel/serve.py render_image_sharded) — the declared scale-out path
+    past the single-chip composed floor. On a 1-chip box this measures the
+    1-device-mesh image render; on a real slice the same code reports
+    deployable multi-chip rays/s (enable with TCNERF_BENCH_SHARDED=1).
+    Weak-scaling curve + overhead model: tools/bench_serve_scaling.py."""
+    from tcnerf.data.synthetic import camera_ring
+    from tcnerf.models.renderer import MVNeRFRenderer
+    from tcnerf.parallel.mesh import make_mesh
+    from tcnerf.parallel.serve import render_image_sharded
+
+    h, w = 480, 640
+    model = MVNeRFRenderer(
+        n_views=1, n_samples=64, n_features=256, near=0.3, far=1.3,
+        original_image_size=(h, w), fusion="without", n_blocks=6,
+        hidden_size=128, pallas_mlp=True, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(6)
+    cfg, tgt = camera_ring(2, height=h, width=w)[:2]
+    k4 = np.eye(4, dtype=np.float32)
+    k4[:3, :3] = cfg["intrinsics"].reshape(3, 3)
+    ext_inv = np.linalg.inv(cfg["pose"]).astype(np.float32)
+    src_images = jnp.asarray(rng.uniform(size=(1, 1, h, w, 3)), jnp.float32)
+    src_intr = jnp.asarray(k4, jnp.float32)[None, None]
+    src_ext = jnp.asarray(ext_inv, jnp.float32)[None, None]
+    feats = jnp.asarray(rng.normal(size=(1, 1, h, w, 256)), jnp.bfloat16)
+    ro = jnp.zeros((1, 8, 3), jnp.float32)
+    rd = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (1, 8, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        ro, rd, src_images, src_intr, src_ext, feats, method="render_rays")
+    mesh = make_mesh(len(jax.devices()))
+
+    def render():
+        rgb, _ = render_image_sharded(
+            mesh, model.apply, variables, src_images, src_intr, src_ext,
+            feats, jnp.asarray(tgt["pose"], jnp.float32),
+            jnp.asarray(tgt["intrinsics"].reshape(3, 3), jnp.float32),
+            jax.random.PRNGKey(9), h, w, chunk=chunk)
+        return float(jnp.sum(rgb.astype(jnp.float32)))  # host pull = sync
+
+    render()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        render()
+    dt = (time.perf_counter() - t0) / iters
+    return h * w / dt
+
+
 def bench_train_step(batch: int, iters: int = 3, scan_len: int = 4,
                      n_rays: int = 512):
     """Full fwd+bwd NeRF train step time (ms) at the reference training shape:
@@ -358,6 +507,18 @@ def bench_train_step(batch: int, iters: int = 3, scan_len: int = 4,
     _ = float(losses[-1])
     dt = time.perf_counter() - t0
     return dt / (iters * scan_len) * 1e3
+
+
+def train_step_useful_tflop(batch: int, n_rays: int = 512,
+                            n_views: int = 1) -> float:
+    """Useful TFLOP per train step (reference algorithm, not as-executed):
+    fwd + bwd = 3x forward (bwd-activations + bwd-weights each cost one
+    forward-equivalent). Rematerialization recompute is deliberately NOT
+    counted — it is implementation overhead, so MFU reads as honest
+    utilization of the algorithmically required work."""
+    ray_fwd = batch * n_rays * 192 * FLOP_PER_SAMPLE
+    enc_fwd = batch * n_views * ENCODER_FWD_FLOPS
+    return 3.0 * (ray_fwd + enc_fwd) / 1e12
 
 
 def bench_dngf_step(batch: int = 8, iters: int = 3, scan_len: int = 2):
@@ -453,11 +614,88 @@ def bench_clip(batch: int = 32, iters: int = 4):
     return batch / dt
 
 
-if __name__ == "__main__":
+# ------------------------------------------------------------------- driver
+
+
+def _phase(name: str, env: str, min_budget_s: float, fn):
+    """Run one secondary phase if enabled and the budget allows."""
+    if os.environ.get(env, "1") == "0":
+        return
+    if _remaining() < min_budget_s:
+        print(f"bench: skipping {name} ({_remaining():.0f}s left "
+              f"< {min_budget_s:.0f}s floor)", file=sys.stderr)
+        return
+    t0 = time.monotonic()
     try:
-        main()
-    finally:
-        try:
-            os.remove(CHIP_LOCK)
-        except OSError:
-            pass
+        fn()
+        print(f"bench: {name} done in {time.monotonic() - t0:.0f}s",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — phases must never kill the line
+        print(f"bench: {name} failed: {e!r}", file=sys.stderr)
+
+
+def _worker():
+    # headline first — unconditionally (this is the round scoreboard)
+    try:
+        bench_render()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: HEADLINE render failed: {e!r}", file=sys.stderr)
+
+    def train_b8():
+        ms = round(bench_train_step(batch=8), 2)
+        RESULTS["train_step_ms_b8"] = ms
+        tflop = train_step_useful_tflop(batch=8)
+        RESULTS["train_tflops_b8"] = round(tflop / (ms / 1e3), 2)
+        RESULTS["train_mfu_pct_b8"] = round(
+            100 * tflop / (ms / 1e3) / PEAK_TFLOPS, 1)
+
+    # priority order; min-budget floors are rough cold-compile estimates —
+    # with a warm .jax_cache each phase runs in well under a minute
+    _phase("train_b8", "TCNERF_BENCH_TRAIN", 240, train_b8)
+    _phase("clip", "TCNERF_BENCH_CLIP", 150, lambda: RESULTS.update(
+        clip_images_per_sec=round(bench_clip(), 1)))
+    _phase("3view", "TCNERF_BENCH_3VIEW", 180, lambda: RESULTS.update(
+        rays_per_sec_3view=round(bench_3view(), 1)))
+    _phase("dngf_b8", "TCNERF_BENCH_TRAIN", 180, lambda: RESULTS.update(
+        dngf_train_step_ms_b8=round(bench_dngf_step(batch=8), 2)))
+    _phase("train_b1", "TCNERF_BENCH_TRAIN", 180, lambda: RESULTS.update(
+        train_step_ms_b1=round(bench_train_step(batch=1), 2)))
+    _phase("hashgrid", "TCNERF_BENCH_HASHGRID", 150, lambda: RESULTS.update(
+        rays_per_sec_hashgrid=round(bench_hashgrid(), 1)))
+    # off by default on 1 chip (the headline covers single-chip serving);
+    # flip on when running on a real multi-chip slice
+    if os.environ.get("TCNERF_BENCH_SHARDED", "0") == "1":
+        _phase("sharded", "TCNERF_BENCH_SHARDED", 200, lambda: RESULTS.update(
+            rays_per_sec_sharded_image=round(bench_sharded(), 1),
+            n_devices=len(jax.devices())))
+
+
+def main():
+    # cooperative chip lock: long-running background jobs (the convergence
+    # supervisor) poll this file and stand down while it is fresh, so a
+    # bench invocation — e.g. the round driver's — gets the chip and the
+    # remote compile service to itself. Stale (>30 min) locks are ignored
+    # by readers; remove any stale one so our own freshness is unambiguous.
+    try:
+        with open(CHIP_LOCK, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+
+    signal.signal(signal.SIGTERM, _signal_handler)
+    signal.signal(signal.SIGINT, _signal_handler)
+
+    worker = threading.Thread(target=_worker, daemon=True)
+    worker.start()
+    # the MAIN thread only waits: signals are delivered here immediately,
+    # even while the worker blocks in a (minutes-long) remote compile
+    while worker.is_alive():
+        worker.join(timeout=5.0)
+        if _remaining() <= 0:
+            emit("internal budget expired")
+            os._exit(0)
+    emit("done")
+
+
+if __name__ == "__main__":
+    main()

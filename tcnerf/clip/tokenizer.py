@@ -8,11 +8,19 @@ markers, greedy lowest-rank pair merging, 77-token context with SOT/EOT.
 The BPE merges file (`bpe_simple_vocab_16e6.txt.gz`) is an external artifact
 the reference loads from a hard-coded disk path (simple_tokenizer.py:20) and
 does not ship. Supply it via the `bpe_path` argument or $TCNERF_CLIP_BPE to
-get id-exact OpenAI tokenization. Without it, a deterministic *byte-level*
-vocabulary (256 bytes + 256 word-final bytes, no merges) is used — same
-special-token ids (SOT 49406, EOT 49407) and embedding-table size (49408), so
-models train/serve identically; only the subword segmentation differs. The
-fallback is flagged on the tokenizer as `is_fallback_vocab`.
+get id-exact OpenAI tokenization (env-gated goldens in
+tests/test_tokenizer_golden.py validate that path).
+
+Without it, the bundled FROZEN vocabulary `bpe_frozen.txt.gz` is used — a
+byte-level BPE of the same format trained offline on deterministic text
+(tools/freeze_bpe.py) and committed, so token ids are stable across machines
+and rounds (`is_frozen_vocab=True`). Ids differ from OpenAI's (the artifact
+is unobtainable offline) but the embedding-table size (49408) and special
+ids (SOT 49406, EOT 49407) are identical, so models train/serve identically.
+
+If an explicitly requested file is missing, a last-resort *byte-level*
+vocabulary (256 bytes + 256 word-final bytes, no merges) is used with a loud
+warning and `is_fallback_vocab=True`.
 """
 
 from __future__ import annotations
@@ -91,9 +99,15 @@ else:
     )
 
 
+FROZEN_BPE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bpe_frozen.txt.gz")
+
+
 class SimpleTokenizer:
     def __init__(self, bpe_path: str = None):
-        bpe_path = bpe_path or os.environ.get("TCNERF_CLIP_BPE")
+        explicit = bpe_path or os.environ.get("TCNERF_CLIP_BPE")
+        bpe_path = explicit or FROZEN_BPE
+        self.is_frozen_vocab = not explicit and os.path.exists(FROZEN_BPE)
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         base = list(bytes_to_unicode().values())

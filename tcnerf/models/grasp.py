@@ -192,11 +192,12 @@ class GraspEBM(nn.Module):
         feats = jax.image.resize(feats, (n, h * 2, w * 2, c), method="bilinear")
         return feats.reshape((b, v, h * 2, w * 2, c))
 
-    def compute_features(self, src_images, clip_tokens=None):
-        """Fused full-res features for language variants; backbone features
-        otherwise. Reference: lmvnerf/model_v4.py:176-190, utils/util.py:117-139."""
-        if self.fusion is None:
-            return self.encode(src_images)
+    def fusion_inputs(self, src_images, clip_tokens=None):
+        """Frozen-tower forward only: CLIP visual pyramid, visual features,
+        text embedding — everything the fusion decoder consumes. Split out so
+        the train_fusion mode (grasp_training.delta_ngf_train_step) can run
+        the frozen towers once OUTSIDE the differentiated function and apply
+        the trainable decoder inside it."""
         from ..clip.preprocess import preprocess
         b, v = src_images.shape[0], src_images.shape[1]
         flat = src_images.reshape((b * v,) + src_images.shape[2:])
@@ -207,8 +208,21 @@ class GraspEBM(nn.Module):
         else:
             textuals = self.clip_textual(clip_tokens)  # [B, 1024]
             textuals = jnp.repeat(textuals, v, axis=0)
+        return clip_outputs, vis, textuals
+
+    def apply_fusion(self, clip_outputs, vis, textuals):
+        """Fusion decoder over precomputed tower outputs -> [B, V, H, W, C]."""
         combined, _ = self.combine_clip_visual(clip_outputs, vis, textuals)
-        return combined.reshape((b, v) + combined.shape[1:])
+        n = combined.shape[0]
+        v = self.n_views
+        return combined.reshape((n // v, v) + combined.shape[1:])
+
+    def compute_features(self, src_images, clip_tokens=None):
+        """Fused full-res features for language variants; backbone features
+        otherwise. Reference: lmvnerf/model_v4.py:176-190, utils/util.py:117-139."""
+        if self.fusion is None:
+            return self.encode(src_images)
+        return self.apply_fusion(*self.fusion_inputs(src_images, clip_tokens))
 
     def energy(self, poses, src_images, src_intrinsics, src_extrinsics_inv,
                batched_features):

@@ -68,9 +68,18 @@ def landscape_loss_fn(loss_name: str, reduction: str = "mean"):
 class GraspTrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     params: Any                       # full param tree (backbone + readout + clip)
-    opt_state: Any                    # optimizer state over grasp_readout only
+    opt_state: Any                    # optimizer state over the trainable subtree
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
     apply_fn: Callable = flax.struct.field(pytree_node=False)
+    # which top-level components train. The reference trains grasp_readout
+    # ONLY (model.py:160-171, delta_ngf/model.py:294-296) — that stays the
+    # default. The language stage may additionally co-train the fusion
+    # decoder (grasp_training.train_fusion): without real pretrained CLIP
+    # weights the frozen random text pathway carries no semantics, so the
+    # text-conditioned decoder must learn at stage 2 (beyond-reference
+    # option, documented in docs/convergence.md).
+    trainable: tuple = flax.struct.field(pytree_node=False,
+                                         default=("grasp_readout",))
 
 
 def make_grasp_optimizer(learning_rate: float = 1e-4,
@@ -78,17 +87,23 @@ def make_grasp_optimizer(learning_rate: float = 1e-4,
     return optax.chain(optax.clip(grad_clip), optax.adam(learning_rate))
 
 
-def create_grasp_train_state(model, params, learning_rate: float = 1e-4):
+def create_grasp_train_state(model, params, learning_rate: float = 1e-4,
+                             trainable=("grasp_readout",)):
     tx = make_grasp_optimizer(learning_rate)
+    sub = {c: params[c] for c in trainable}
     return GraspTrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt_state=tx.init(params["grasp_readout"]), tx=tx,
-                           apply_fn=model.apply)
+                           opt_state=tx.init(sub), tx=tx,
+                           apply_fn=model.apply, trainable=tuple(trainable))
 
 
-def _merged(params, readout_params):
+def _merged(params, sub):
     new = dict(params)
-    new["grasp_readout"] = readout_params
+    new.update(sub)
     return new
+
+
+def _trainable_sub(state: GraspTrainState):
+    return {c: state.params[c] for c in state.trainable}
 
 
 @functools.partial(jax.jit, static_argnames=("loss_name", "loss_reduction"))
@@ -103,20 +118,20 @@ def grasp_train_step(state: GraspTrainState, inputs, labels,
     features = state.apply_fn({"params": state.params}, src_images,
                               method="encode")
 
-    def loss_fn(readout_params):
+    def loss_fn(sub):
         energies = state.apply_fn(
-            {"params": _merged(state.params, readout_params)},
+            {"params": _merged(state.params, sub)},
             poses, src_images, src_intr, src_ext, features, method="energy")
         if softmax_before:
             energies = jax.nn.softmax(energies)
         return loss_fn_(labels, energies)
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params["grasp_readout"])
-    updates, new_opt = state.tx.update(grads, state.opt_state,
-                                       state.params["grasp_readout"])
-    new_readout = optax.apply_updates(state.params["grasp_readout"], updates)
+    sub = _trainable_sub(state)
+    loss, grads = jax.value_and_grad(loss_fn)(sub)
+    updates, new_opt = state.tx.update(grads, state.opt_state, sub)
+    new_sub = optax.apply_updates(sub, updates)
     return state.replace(step=state.step + 1,
-                         params=_merged(state.params, new_readout),
+                         params=_merged(state.params, new_sub),
                          opt_state=new_opt), {"loss": loss}
 
 
@@ -138,11 +153,23 @@ def delta_ngf_train_step(state: GraspTrainState, inputs, labels,
     clip_tokens = inputs[7] if use_tokens else None
     loss_fn_, softmax_before = landscape_loss_fn(loss_name)
 
-    features = state.apply_fn({"params": state.params}, src_images, clip_tokens,
-                              method="compute_features")
+    train_fusion = "combine_clip_visual" in state.trainable
+    fusion_in = features0 = None
+    if train_fusion:
+        # the frozen towers run once outside the differentiated function;
+        # the fusion decoder (trainable) applies INSIDE it so its gradients
+        # flow — everything else matches the frozen-fusion path exactly
+        fusion_in = state.apply_fn({"params": state.params}, src_images,
+                                   clip_tokens, method="fusion_inputs")
+    else:
+        features0 = state.apply_fn({"params": state.params}, src_images,
+                                   clip_tokens, method="compute_features")
 
-    def loss_fn(readout_params):
-        params = _merged(state.params, readout_params)
+    def loss_fn(sub):
+        params = _merged(state.params, sub)
+        features = (state.apply_fn({"params": params}, *fusion_in,
+                                   method="apply_fusion")
+                    if train_fusion else features0)
 
         def energy(t, r):
             return state.apply_fn(
@@ -174,11 +201,10 @@ def delta_ngf_train_step(state: GraspTrainState, inputs, labels,
         return total, {"landscape_loss": landscape, "grad_loss_t": loss_t,
                        "grad_loss_r": loss_r, "pred": jnp.mean(prediction)}
 
-    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params["grasp_readout"])
-    updates, new_opt = state.tx.update(grads, state.opt_state,
-                                       state.params["grasp_readout"])
-    new_readout = optax.apply_updates(state.params["grasp_readout"], updates)
+    sub = _trainable_sub(state)
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(sub)
+    updates, new_opt = state.tx.update(grads, state.opt_state, sub)
+    new_readout = optax.apply_updates(sub, updates)
     return state.replace(step=state.step + 1,
                          params=_merged(state.params, new_readout),
                          opt_state=new_opt), metrics

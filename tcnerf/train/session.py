@@ -131,11 +131,15 @@ def train_grasp_model(fit_epochs_fn: Callable[[int, int], None],
                       model_log_dir: str, model_checkpoint_name: str,
                       grasp_optimizer: PoseOptimizer, optimization_config: dict,
                       wandb_config: dict, valid_data: List, oracle=None,
-                      rng=None):
+                      rng=None, refresh_valid_fn=None):
     """Chunked fit/validate/checkpoint loop (reference training.py:23-72).
 
     fit_epochs_fn(initial_epoch, end_epoch) trains the model in place;
     store_fn(path) writes a checkpoint (per-component layout).
+    refresh_valid_fn(valid_data) -> valid_data recomputes the precomputed
+    validation features before each validation pass — needed when the
+    feature path itself trains (grasp_training.train_fusion); the default
+    None keeps the reference's compute-once semantics (util.py:117-130).
     """
     run, wandb_initialized = wandb.init_wandb(wandb_config)
     best_mean_error, n_fits, start_epoch, start_n_fit, progress_file = \
@@ -151,6 +155,8 @@ def train_grasp_model(fit_epochs_fn: Callable[[int, int], None],
         e_epoch = (k + 1) * eval_after_epochs
         fit_epochs_fn(i_epoch, e_epoch)
 
+        if refresh_valid_fn is not None:
+            valid_data = refresh_valid_fn(valid_data)
         results = validate(grasp_optimizer, optimization_config, valid_data,
                            oracle, rng)
         os.makedirs(os.path.join(model_log_dir, "valid"), exist_ok=True)

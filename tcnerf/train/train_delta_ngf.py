@@ -78,17 +78,33 @@ def run_delta_training(cfg, generator_cls=DeltaNGFDataGenerator, sync=True,
                                 rotation)
     init_inputs = (poses0, jnp.asarray(inputs0[4]), jnp.asarray(inputs0[5]),
                    jnp.asarray(inputs0[6]))
+    # trainable components: reference = grasp_readout only. train_fusion
+    # co-trains the fusion decoder (language stage without real CLIP
+    # weights); train_hash_tables learns the hash-grid encoding instead of
+    # using it as frozen random features.
+    trainable = ("grasp_readout",)
+    train_fusion = (fusion is not None
+                    and cfg.grasp_training.get("train_fusion", False))
+    if train_fusion:
+        trainable = trainable + ("combine_clip_visual",)
+    if (cfg.grasp_model.get("encoding", "fourier") == "hashgrid"
+            and cfg.grasp_training.get("train_hash_tables", False)):
+        trainable = trainable + ("hash_tables",)
     if fusion is not None:
         import jax
         dummy_tokens = jnp.zeros((inputs0[4].shape[0], 77), jnp.int32)
         params = model.init(jax.random.PRNGKey(cfg.get("seed", 0)), *init_inputs,
                             dummy_tokens, method="init_all")["params"]
         state = GT.create_grasp_train_state(
-            model, params, learning_rate=cfg.grasp_training.learning_rate)
+            model, params, learning_rate=cfg.grasp_training.learning_rate,
+            trainable=trainable)
     else:
-        state = init_grasp_state(model, cfg, init_inputs, cfg.get("seed", 0))
+        state = init_grasp_state(model, cfg, init_inputs, cfg.get("seed", 0),
+                                 trainable=trainable)
     state, _ = load_backbone(state, cfg, fusion=fusion is not None)
-    state = resume_or_init(state, cfg)
+    state = resume_or_init(
+        state, cfg, extra_components=(("combine_clip_visual",)
+                                      if fusion is not None else ()))
 
     pose_optimizer = build_pose_optimizer(model, state, cfg)
     valid_data = collect_valid_data(valid_dataset, cfg, model, state, tokenize_fn)
@@ -118,13 +134,25 @@ def run_delta_training(cfg, generator_cls=DeltaNGFDataGenerator, sync=True,
             components = components + ("combine_clip_visual",)
         ckpt.store(path, state_box["state"].params, components)
 
+    refresh_valid_fn = None
+    if train_fusion:
+        from .grasp_common import make_compute_features
+        from .session import get_inputs
+
+        def refresh_valid_fn(valid_data):
+            # the decoder trained — the precomputed fused validation
+            # features are stale; recompute with the current params
+            fn = make_compute_features(model, state_box["state"], tokenize_fn)
+            return [(inp, fn(inp[0], inp[3]), info, gp)
+                    for (inp, _feats, info, gp) in valid_data]
+
     oc = cfg.validation.grasp_opt_config.optimization_config.to_dict()
     oc["sync"] = sync
     train_grasp_model(
         fit_epochs, store, nt.n_epochs, nt.eval_after_epochs, nt.model_path,
         model_checkpoint_name, pose_optimizer, oc,
         {"project": wandb_project, "dir": nt.model_path, "config": cfg.to_dict()},
-        valid_data, rng=cfg.get("seed", 0))
+        valid_data, rng=cfg.get("seed", 0), refresh_valid_fn=refresh_valid_fn)
     return state_box["state"]
 
 

@@ -1,13 +1,16 @@
 #!/bin/bash
-# Round-3 convergence-evidence supervisor (VERDICT item 4).
+# Round-4 convergence-evidence supervisor (r3 VERDICT items 5 + 8).
 #
-# Waits for the axon TPU tunnel, then drives the two sustained full-scale
-# runs back to back, resume-safe (both trainers continue from
+# Waits for the axon TPU tunnel, then drives the sustained full-scale runs
+# back to back, resume-safe (all trainers continue from
 # training_progress.json on relaunch):
-#   1. nerf_convergence  — full 480x640 NeRF, fusion='without'
-#   2. goal_convergence  — grasp EBM on the frozen converged backbone
-# Retries each run up to MAX_RETRY times on crash (the axon tunnel is the
-# usual culprit; a retry resumes, it does not restart).
+#   1. nerf_convergence     — full 480x640 NeRF, fusion='without' (backbone)
+#   2. language_convergence — language EBM on the frozen backbone,
+#                             multi-object scenes + text target selection
+#   3. goal_convergence     — goal EBM on the same backbone (if time)
+# Each run gets a wall-clock BUDGET; hitting it (rc=124) is SUCCESS for the
+# round (the run is resumable) and hands the chip to the next run. Retries
+# on crash (the axon tunnel is the usual culprit; a retry resumes).
 #
 # Cooperative preemption: a fresh /tmp/tcnerf_chip_lock (written by a
 # running bench.py — e.g. the round driver's round-end bench) makes the
@@ -17,9 +20,14 @@
 #
 # Usage: setsid nohup bash tools/convergence_supervisor.sh <workdir> \
 #          > <workdir>/supervisor.log 2>&1 &
+#   env: DEADLINE_TS (unix secs) — hard stop for everything;
+#        NERF_BUDGET / LANG_BUDGET / GOAL_BUDGET (secs per run)
 set -u
-WS=${1:-/tmp/conv}
+WS=${1:-/root/repo/convruns}
 MAX_RETRY=${MAX_RETRY:-6}
+NERF_BUDGET=${NERF_BUDGET:-8400}
+LANG_BUDGET=${LANG_BUDGET:-7200}
+GOAL_BUDGET=${GOAL_BUDGET:-14400}
 cd "$(dirname "$0")/.."
 mkdir -p "$WS"
 
@@ -42,8 +50,6 @@ lock_fresh() {
 }
 
 wait_tunnel() {
-  # /tmp/conv_hold gates the supervisor off the (exclusive) TPU while the
-  # tpu_checklist runs its benches; the checklist releases it via EXIT trap
   while ! tunnel_up || [ -e /tmp/conv_hold ] || lock_fresh; do
     echo "$(date -u +%T) tunnel down / conv_hold / chip lock; waiting 60s"
     sleep 60
@@ -53,20 +59,26 @@ wait_tunnel() {
 
 run_with_retry() {
   local name=$1; shift
+  local run_budget=$1; shift
+  local spent=0
   local n=0
   until [ "$n" -ge "$MAX_RETRY" ]; do
-    # optional DEADLINE_TS (unix seconds) still honored when exported
-    local budget=14400
+    local budget=$(( run_budget - spent ))
     if [ -n "${DEADLINE_TS:-}" ]; then
-      budget=$(( DEADLINE_TS - $(date +%s) ))
-      [ "$budget" -gt 14400 ] && budget=14400
+      local to_deadline=$(( DEADLINE_TS - $(date +%s) ))
+      [ "$budget" -gt "$to_deadline" ] && budget=$to_deadline
       if [ "$budget" -lt 900 ]; then
         echo "$(date -u +%T) [$name] deadline reached; leaving resume point"
         return 1
       fi
     fi
+    if [ "$budget" -lt 300 ]; then
+      echo "$(date -u +%T) [$name] run budget exhausted; next run"
+      return 0
+    fi
     wait_tunnel
     echo "$(date -u +%T) [$name] attempt $((n+1))/$MAX_RETRY (budget ${budget}s)"
+    local t0=$(date +%s)
     timeout "$budget" "$@" >> "$WS/$name.log" 2>&1 &
     local tpid=$!
     local preempted=0
@@ -80,6 +92,7 @@ run_with_retry() {
     done
     wait "$tpid"
     rc=$?
+    spent=$(( spent + $(date +%s) - t0 ))
     if [ "$preempted" -eq 1 ]; then
       # not a failure: stand down, then resume without burning a retry
       sleep 60
@@ -87,6 +100,11 @@ run_with_retry() {
     fi
     if [ $rc -eq 0 ]; then
       echo "$(date -u +%T) [$name] done"
+      return 0
+    fi
+    if [ $rc -eq 124 ]; then
+      # budget exhausted: resumable success for this round
+      echo "$(date -u +%T) [$name] budget exhausted (resumable); next run"
       return 0
     fi
     echo "$(date -u +%T) [$name] rc=$rc; retrying (resume-safe)"
@@ -97,10 +115,13 @@ run_with_retry() {
   return 1
 }
 
-run_with_retry nerf python -m tcnerf.train.train_nerf \
+run_with_retry nerf "$NERF_BUDGET" python -m tcnerf.train.train_nerf \
   --config-name=nerf_convergence data_dir="$WS" ws_dir="$WS" || exit 1
 
-run_with_retry goal python -m tcnerf.train.train_goal \
+run_with_retry language "$LANG_BUDGET" python -m tcnerf.train.train_language \
+  --config-name=language_convergence data_dir="$WS" ws_dir="$WS" || exit 1
+
+run_with_retry goal "$GOAL_BUDGET" python -m tcnerf.train.train_goal \
   --config-name=goal_convergence data_dir="$WS" ws_dir="$WS" || exit 1
 
 echo "$(date -u +%T) all convergence runs complete"

@@ -135,3 +135,56 @@ class TestCheckpointTFFallback:
             lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                        np.asarray(b)),
             restored, params)
+
+
+class TestFullRendererRoundTrip:
+    """Full reference-layout export of a TRAINED renderer — all six component
+    suffixes of model_v0.py:199-240 — re-imported through the TF-bundle
+    fallback (r3 VERDICT item 6: the export half of the real-weight story)."""
+
+    def test_trained_six_component_tree(self, tmp_path):
+        from tcnerf.models import training as T
+        from tcnerf.models.renderer import MVNeRFRenderer
+
+        h, w = 48, 64
+        model = MVNeRFRenderer(
+            n_views=1, n_samples=4, near=0.5, far=1.5, fusion="v4",
+            n_features=256, original_image_size=(h, w), n_blocks=2,
+            hidden_size=32, vit_size=(32, 32), vit_patch=16, vit_dim=32,
+            vit_heads=2, vit_hooks=(1, 2, 3, 4),
+            clip_layers=(1, 1, 1, 1), clip_width=8, clip_embed_dim=32,
+            clip_image_size=32)
+        rng = np.random.default_rng(0)
+        ro = jnp.zeros((1, 8, 3), jnp.float32)
+        rd = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (1, 8, 1))
+        src = jnp.asarray(rng.uniform(size=(1, 1, h, w, 3)), jnp.float32)
+        k4 = jnp.eye(4, dtype=jnp.float32)[None, None]
+        inputs = (ro, rd, src, k4, k4)
+        state = T.create_train_state(
+            model, jax.random.PRNGKey(0), inputs,
+            tx=T.make_nerf_optimizer(warmup_steps=1))
+        labels = jnp.asarray(rng.uniform(size=(1, 8, 3)), jnp.float32)
+        for i in range(2):  # actually train: params must differ from init
+            state, _ = T.nerf_train_step(state, inputs, labels,
+                                         jax.random.PRNGKey(3 + i))
+        params = jax.device_get(state.params)
+        assert sorted(ckpt.RENDERER_COMPONENTS) == sorted(
+            c for c in params if c != "clip_visual")
+
+        path = str(tmp_path / "model_final")
+        ckpt.store_tf(path, params, ckpt.RENDERER_COMPONENTS)
+        for c in ckpt.RENDERER_COMPONENTS:  # reference suffix layout
+            assert (tmp_path / f"model_final_{c}.index").exists()
+            assert (tmp_path / f"model_final_{c}.data-00000-of-00001").exists()
+
+        fresh = model.init({"params": jax.random.PRNGKey(9),
+                            "sampling": jax.random.PRNGKey(1)},
+                           inputs)["params"]
+        restored = ckpt.load(path, dict(jax.device_get(fresh)),
+                             ckpt.RENDERER_COMPONENTS)
+        assert restored is not None
+        for c in ckpt.RENDERER_COMPONENTS:
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)),
+                restored[c], params[c])

@@ -318,8 +318,12 @@ def bench_3view(n_rays: int = 4096, n_chunks: int = 8, iters: int = 3):
         method="render_rays")
     params = variables["params"]
 
+    # big arrays ride as explicit jit ARGUMENTS: closed-over jnp arrays
+    # become jaxpr constants whose VALUES ship with the remote-compile
+    # request — the 3-view 471 MB feature tensor exceeds the compile
+    # service's request-size limit (HTTP 413)
     @jax.jit
-    def render_many(params, keys):
+    def render_many(params, src_images, features, keys):
         def chunk(carry, key):
             out = model.apply({"params": params}, ray_o, ray_d, src_images,
                               src_intr, src_ext, features,
@@ -330,10 +334,10 @@ def bench_3view(n_rays: int = 4096, n_chunks: int = 8, iters: int = 3):
                               jax.random.split(keys, n_chunks))
         return acc
 
-    _ = float(render_many(params, jax.random.PRNGKey(2)))
+    _ = float(render_many(params, src_images, features, jax.random.PRNGKey(2)))
     t0 = time.perf_counter()
     for i in range(iters):
-        out = render_many(params, jax.random.PRNGKey(2))
+        out = render_many(params, src_images, features, jax.random.PRNGKey(2))
     _ = float(out)
     dt = time.perf_counter() - t0
     return iters * n_chunks * n_rays / dt

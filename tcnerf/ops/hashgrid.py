@@ -89,5 +89,10 @@ def hash_encode(tables, x, cfg: HashGridConfig):
             axis=-1)                                 # [N, 8]
         return jnp.sum(feats * w[..., None], axis=1)  # [N, F]
 
-    encoded = jax.vmap(level, in_axes=(0, 0), out_axes=1)(tables, scales)
+    # levels run SEQUENTIALLY (lax.map == scan): vmapping them materializes
+    # every level's [N, 8, ...] corner/gather temporaries at once — at
+    # serving shapes (N = rays x 192 samples) that exhausted HBM. The scan
+    # bounds the live set to one level's temporaries; output identical.
+    encoded = jax.lax.map(lambda ts: level(*ts), (tables, scales))  # [L,N,F]
+    encoded = jnp.moveaxis(encoded, 0, 1)                           # [N,L,F]
     return encoded.reshape(shape + (cfg.out_dim,))

@@ -12,10 +12,14 @@ parallel efficiency, and a fitted overhead model
 weak scaling the render work divides perfectly because chunks are
 independent — the ONLY cross-device interaction is the output all-gather).
 
-On the 8-device virtual CPU mesh the absolute numbers are meaningless but
-the efficiency curve and the fixed-cost split are real program properties;
-on a real multi-chip slice the same tool (or `TCNERF_BENCH_SHARDED=1
-python bench.py`) gives deployable rays/s.
+On the 8-device virtual CPU mesh every "device" time-shares the SAME host
+core, so t(n) cannot drop below t(1): what the virtual run measures is the
+SHARDING OVERHEAD per mesh size (collectives + per-shard dispatch — the
+`sharding_overhead_vs_1dev` field), which is the part of the scaling story
+that transfers to real hardware. Speedup itself needs real chips: on a
+real multi-chip slice the same tool (or `TCNERF_BENCH_SHARDED=1 python
+bench.py`) reports deployable rays/s, parallel efficiency, and the fitted
+t(n) = t_work/n + t_fixed overhead model.
 
 Usage:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
@@ -75,6 +79,10 @@ def run(height, width, n_samples, n_blocks, hidden, chunk, iters):
 
     n_rays = height * width
     n_avail = len(jax.devices())
+    # shared-core virtual mesh? (xla_force_host_platform_device_count gives
+    # n "devices" on however many real cores the host has)
+    virtual = (jax.devices()[0].platform == "cpu"
+               and n_avail > (os.cpu_count() or 1))
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
     rows = []
     ref_rgb = None
@@ -98,14 +106,21 @@ def run(height, width, n_samples, n_blocks, hidden, chunk, iters):
             render()
         dt = (time.perf_counter() - t0) / iters
         rows.append((n, dt))
-        eff = rows[0][1] / (n * dt)
-        print(json.dumps({"devices": n, "ms_per_image": round(dt * 1e3, 1),
-                          "rays_per_sec": round(n_rays / dt, 1),
-                          "parallel_efficiency": round(eff, 3),
-                          "parity_vs_1dev": "ok"}), flush=True)
+        row = {"devices": n, "ms_per_image": round(dt * 1e3, 1),
+               "rays_per_sec": round(n_rays / dt, 1),
+               "parity_vs_1dev": "ok"}
+        if virtual:
+            # time-shared core: ideal t(n) == t(1); the excess is the
+            # sharding overhead (collectives + per-shard dispatch), the
+            # transferable part of the measurement
+            row["sharding_overhead_vs_1dev"] = round(dt / rows[0][1] - 1, 3)
+        else:
+            row["parallel_efficiency"] = round(rows[0][1] / (n * dt), 3)
+        print(json.dumps(row), flush=True)
 
-    # overhead model t(n) = t_work/n + t_fixed (least squares over 1/n)
-    if len(rows) >= 2:
+    # overhead model t(n) = t_work/n + t_fixed — only meaningful when the
+    # devices actually compute in parallel
+    if len(rows) >= 2 and not virtual:
         ns = np.asarray([r[0] for r in rows], np.float64)
         ts = np.asarray([r[1] for r in rows], np.float64)
         A = np.stack([1.0 / ns, np.ones_like(ns)], axis=1)
@@ -118,6 +133,12 @@ def run(height, width, n_samples, n_blocks, hidden, chunk, iters):
                 float(t_fixed / ts[-1]) if ts[-1] else 0.0, 3),
             "extrapolated_rays_per_sec_64dev": round(
                 n_rays / (t_work / 64 + t_fixed), 1),
+        }), flush=True)
+    elif len(rows) >= 2:
+        print(json.dumps({
+            "note": "shared-core virtual mesh: t(n) ~ t(1) + overhead(n); "
+                    "speedup needs real devices",
+            "overhead_at_max_mesh": round(rows[-1][1] / rows[0][1] - 1, 3),
         }), flush=True)
 
 

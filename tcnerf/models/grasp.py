@@ -116,6 +116,11 @@ class GraspEBM(nn.Module):
     hash_finest_res: int = 512
     workspace_bounds: Tuple[Tuple[float, float], ...] = (
         (0.35, 0.85), (-0.25, 0.25), (0.0, 0.2))
+    # rematerialize the fusion decoder in the backward pass. Only matters
+    # when the decoder trains (grasp_training.train_fusion): its U-Net
+    # holds multi-GB activations at batch 8 x 480x640 full-res — remat
+    # stores the tower outputs only and recomputes the decoder forward.
+    remat_fusion: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -150,6 +155,8 @@ class GraspEBM(nn.Module):
                    "v1": fusion_mod.CombineCLIPVisualV1,
                    "v2": fusion_mod.CombineCLIPVisualV2,
                    "v3": CombineCLIPVisualV3, "v4": CombineCLIPVisualV4}[self.fusion]
+            if self.remat_fusion:
+                cls = nn.remat(cls)
             if self.fusion in ("v3", "v4"):
                 self.combine_clip_visual = cls(
                     use_dense=self.fusion_use_dense,

@@ -44,6 +44,9 @@ def build_grasp_model(cfg, n_points_train: Optional[int] = None,
         clip_text_width=nm.get("clip_text_width", 512),
         clip_text_layers=nm.get("clip_text_layers", 12),
         clip_image_size=nm.get("clip_image_size", 224),
+        # remat the fusion decoder when it trains (multi-GB U-Net
+        # activations at batch 8 full-res otherwise)
+        remat_fusion=cfg.grasp_training.get("train_fusion", False),
     )
     if gm.get("encoding", "fourier") == "hashgrid":
         # instant-NGP hash-grid grasp field (BASELINE config 4); bounds come

@@ -64,7 +64,14 @@ CHIP_LOCK = "/tmp/tcnerf_chip_lock"
 # ---------------------------------------------------------------- emit-once
 
 _T0 = time.monotonic()
-_BUDGET_S = float(os.environ.get("TCNERF_BENCH_BUDGET_S", "1500"))
+# Budget calibration (measured cold, round 4): the axon platform does NOT
+# populate the JAX persistent cache (zero axon entries after a 63-min
+# all-phase run), so EVERY bench process recompiles over the tunnel —
+# headline ~2050 s, train_b8 ~535 s, clip ~231 s, dngf ~398 s. The round-3
+# failure (rc=124, nothing printed) is consistent with a ~3600 s driver
+# timeout; 3300 s leaves margin to emit even for a KILL-only driver, and
+# the SIGTERM handler covers everything beyond it.
+_BUDGET_S = float(os.environ.get("TCNERF_BENCH_BUDGET_S", "3300"))
 
 RESULTS = {
     "metric": ("rays/sec/chip (sorted-window fused hierarchical render, "
@@ -473,7 +480,8 @@ def bench_train_step(batch: int, iters: int = 3, scan_len: int = 4,
         n_views=1, n_samples=64, n_features=256, near=0.3, far=1.3,
         original_image_size=(h, w), fusion="without", n_blocks=6,
         hidden_size=128, corner_gather=False, remat=True,
-        pallas_mlp=os.environ.get("TCNERF_BENCH_TRAIN_PALLAS", "0") == "1")
+        pallas_mlp=os.environ.get("TCNERF_BENCH_TRAIN_PALLAS", "0") == "1",
+        encoder_dtype=os.environ.get("TCNERF_BENCH_TRAIN_ENCDTYPE") or None)
 
     rng = np.random.default_rng(2)
     cfg, tgt = camera_ring(2, height=h, width=w)[:2]
@@ -653,16 +661,17 @@ def _worker():
         RESULTS["train_mfu_pct_b8"] = round(
             100 * tflop / (ms / 1e3) / PEAK_TFLOPS, 1)
 
-    # priority order; min-budget floors are rough cold-compile estimates —
-    # with a warm .jax_cache each phase runs in well under a minute
-    _phase("train_b8", "TCNERF_BENCH_TRAIN", 240, train_b8)
-    _phase("clip", "TCNERF_BENCH_CLIP", 150, lambda: RESULTS.update(
+    # priority order; min-budget floors = measured COLD wall times (every
+    # run is cold on axon — remote compiles never reach the persistent
+    # cache), so a phase only starts when it can finish inside the budget
+    _phase("train_b8", "TCNERF_BENCH_TRAIN", 560, train_b8)
+    _phase("clip", "TCNERF_BENCH_CLIP", 240, lambda: RESULTS.update(
         clip_images_per_sec=round(bench_clip(), 1)))
-    _phase("3view", "TCNERF_BENCH_3VIEW", 180, lambda: RESULTS.update(
-        rays_per_sec_3view=round(bench_3view(), 1)))
-    _phase("dngf_b8", "TCNERF_BENCH_TRAIN", 180, lambda: RESULTS.update(
+    _phase("dngf_b8", "TCNERF_BENCH_TRAIN", 420, lambda: RESULTS.update(
         dngf_train_step_ms_b8=round(bench_dngf_step(batch=8), 2)))
-    _phase("train_b1", "TCNERF_BENCH_TRAIN", 180, lambda: RESULTS.update(
+    _phase("3view", "TCNERF_BENCH_3VIEW", 600, lambda: RESULTS.update(
+        rays_per_sec_3view=round(bench_3view(), 1)))
+    _phase("train_b1", "TCNERF_BENCH_TRAIN", 320, lambda: RESULTS.update(
         train_step_ms_b1=round(bench_train_step(batch=1), 2)))
     _phase("hashgrid", "TCNERF_BENCH_HASHGRID", 150, lambda: RESULTS.update(
         rays_per_sec_hashgrid=round(bench_hashgrid(), 1)))
@@ -693,8 +702,17 @@ def main():
     worker.start()
     # the MAIN thread only waits: signals are delivered here immediately,
     # even while the worker blocks in a (minutes-long) remote compile
+    last_touch = time.monotonic()
     while worker.is_alive():
         worker.join(timeout=5.0)
+        if time.monotonic() - last_touch > 600:
+            # keep the cooperative lock FRESH: background trainers treat a
+            # >30-min-old lock as stale and would grab the chip mid-bench
+            last_touch = time.monotonic()
+            try:
+                os.utime(CHIP_LOCK)
+            except OSError:
+                pass
         if _remaining() <= 0:
             emit("internal budget expired")
             os._exit(0)

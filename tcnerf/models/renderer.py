@@ -108,6 +108,13 @@ class MVNeRFRenderer(nn.Module):
     # the encoder pyramid and exhausts v5e HBM. Costs one extra forward of
     # the rematted segments; param tree is unchanged (lifted transform).
     remat: bool = False
+    # compute dtype for the ViT+DPT+conv encoder ONLY ("bfloat16" or None =
+    # follow `dtype`). The train step is encoder-bound (83% of its FLOPs,
+    # docs/perf_notes.md round 4); bf16 encoder compute with f32 params is
+    # the standard mixed-precision recipe for it. Off by default: the
+    # reference trains f32 (parity default) — enable per-config after
+    # checking the convergence recipe tolerates it.
+    encoder_dtype: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -141,10 +148,12 @@ class MVNeRFRenderer(nn.Module):
         self.coarse_readout = RenderReadout(4, dtype=self.dtype)
         self.fine_embedding = emb_cls(**kw)
         self.fine_readout = RenderReadout(4, dtype=self.dtype)
+        enc_dtype = (jnp.bfloat16 if self.encoder_dtype == "bfloat16"
+                     else self.dtype)
         self.visual_features = vf_cls(
             n_features=self.n_features, original_image_size=self.original_image_size,
             vit_size=self.vit_size, patch_size=self.vit_patch, embed_dim=self.vit_dim,
-            num_heads=self.vit_heads, hooks=self.vit_hooks, dtype=self.dtype)
+            num_heads=self.vit_heads, hooks=self.vit_hooks, dtype=enc_dtype)
         if self.fusion != "without":
             from ..clip.model import CLIPVisualEncoder
             self.clip_visual = CLIPVisualEncoder(
@@ -162,7 +171,12 @@ class MVNeRFRenderer(nn.Module):
 
     def encode(self, src_images_flat):
         """[B*V, H, W, 3] -> visual feature map [B*V, H/2, W/2, n_features]."""
-        return self.visual_features(src_images_flat)
+        out = self.visual_features(src_images_flat)
+        if self.encoder_dtype is not None:
+            # keep the render path in the model compute dtype — the encoder
+            # dtype is an internal mixed-precision choice, not a contract
+            out = out.astype(self.dtype or jnp.float32)
+        return out
 
     def combine_features(self, src_images_flat, clip_outputs=None, clip_textuals=None):
         """Full fused feature image [B*V, H, W, n_features] (+ aux loss).

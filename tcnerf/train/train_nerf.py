@@ -63,6 +63,10 @@ def build_model(cfg, fusion=None):
         corner_gather=nm.get("corner_gather", False),
         remat=nm.get("remat", True),
         pallas_mlp=nm.get("pallas_mlp", False),
+        # mixed-precision encoder (bf16 compute, f32 params) — measured
+        # speedup knob for the encoder-bound train step; reference parity
+        # default is f32
+        encoder_dtype=nm.get("encoder_dtype", None),
         # beyond-reference fast per-scene field (nn/hashgrid_field.py);
         # "pixel" = reference parity
         field=nm.get("field", "pixel"),

@@ -149,6 +149,9 @@ class TestFullRendererRoundTrip:
         h, w = 48, 64
         model = MVNeRFRenderer(
             n_views=1, n_samples=4, near=0.5, far=1.5, fusion="v4",
+            # use_dense: the raw-multiply flavor requires the text embedding
+            # to match the gate widths (only true at full 1024-d scale)
+            fusion_use_dense=True,
             n_features=256, original_image_size=(h, w), n_blocks=2,
             hidden_size=32, vit_size=(32, 32), vit_patch=16, vit_dim=32,
             vit_heads=2, vit_hooks=(1, 2, 3, 4),

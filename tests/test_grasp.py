@@ -333,3 +333,82 @@ class TestHashGridField:
         assert restored is not None
         np.testing.assert_array_equal(np.asarray(restored["hash_tables"]),
                                       np.asarray(params["hash_tables"]))
+
+
+class TestTrainFusion:
+    """Opt-in fusion-decoder co-training (grasp_training.train_fusion):
+    the language stage trains combine_clip_visual alongside the readout —
+    a beyond-reference option (the reference trains grasp_readout only,
+    delta_ngf/model.py:294-296) needed when the frozen CLIP towers are
+    random (see language_convergence.yaml)."""
+
+    def _language_setup(self):
+        # n_features pinned at 256: the fusion decoders end in fixed
+        # 256-channel convs (reference layers.py:523-660)
+        cfg = dict(TINY, n_features=256)
+        model = GraspEBM(**cfg, fusion="v4", clip_layers=(1, 1, 1, 1),
+                         clip_width=8, clip_embed_dim=32, clip_text_width=16,
+                         clip_text_layers=1, clip_image_size=32,
+                         remat_fusion=True)
+        scene = SyntheticScene.random(1, n_spheres=2)
+        colors, configs = generate_views(scene, 3, height=H, width=W,
+                                         radius=1.0, polar=0.6)
+        ext_inv, k4 = camera_parameters(configs[0])
+        imgs = jnp.asarray(colors[0][..., :3] / 255.0, jnp.float32)[None, None]
+        intr = jnp.asarray(k4, jnp.float32)[None, None]
+        ext = jnp.asarray(ext_inv, jnp.float32)[None, None]
+        tokens = jnp.zeros((1, 77), jnp.int32)
+        poses0 = jnp.tile(jnp.eye(4), (1, 2, 1, 1)).astype(jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), poses0, imgs, intr, ext,
+                            tokens, method="init_all")["params"]
+        rng = np.random.default_rng(5)
+        n_l, n_g = 6, 4
+
+        def poses(n):
+            t = rng.uniform([0.3, -0.2, 0.0], [0.7, 0.2, 0.3],
+                            (1, n, 3)).astype(np.float32)
+            q = rng.normal(size=(1, n, 4)).astype(np.float32)
+            q /= np.linalg.norm(q, axis=-1, keepdims=True)
+            return jnp.asarray(t), jnp.asarray(q)
+
+        l_t, l_r = poses(n_l)
+        g_t, g_r = poses(n_g)
+        onehot = np.zeros((1, n_l), np.float32)
+        onehot[:, 0] = 1.0
+        labels = [jnp.asarray(onehot),
+                  jnp.asarray(rng.normal(size=(1, n_g, 3)), np.float32),
+                  jnp.asarray(rng.normal(size=(1, n_g, 4)), np.float32)]
+        inputs = [l_t, l_r, g_t, g_r, imgs, intr, ext, tokens]
+        return model, params, inputs, labels
+
+    def test_fusion_decoder_trains_and_backbone_stays_frozen(self):
+        model, params, inputs, labels = self._language_setup()
+        state = GT.create_grasp_train_state(
+            model, params, trainable=("grasp_readout", "combine_clip_visual"))
+        before_fusion = jax.tree_util.tree_leaves(
+            state.params["combine_clip_visual"])
+        before_backbone = jax.tree_util.tree_leaves(
+            state.params["fine_embedding"])
+        for _ in range(2):
+            state, metrics = GT.delta_ngf_train_step(
+                state, inputs, labels, "kl_divergence", "quaternion", True)
+        assert np.isfinite(float(metrics["landscape_loss"]))
+        after_fusion = jax.tree_util.tree_leaves(
+            state.params["combine_clip_visual"])
+        changed = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                      for a, b in zip(before_fusion, after_fusion))
+        assert changed, "fusion decoder did not train under train_fusion"
+        for a, b in zip(before_backbone,
+                        jax.tree_util.tree_leaves(
+                            state.params["fine_embedding"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_default_keeps_fusion_frozen(self):
+        model, params, inputs, labels = self._language_setup()
+        state = GT.create_grasp_train_state(model, params)  # reference mode
+        before = jax.tree_util.tree_leaves(params["combine_clip_visual"])
+        state, _ = GT.delta_ngf_train_step(
+            state, inputs, labels, "kl_divergence", "quaternion", True)
+        for a, b in zip(before, jax.tree_util.tree_leaves(
+                state.params["combine_clip_visual"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -136,14 +136,20 @@ def run_delta_training(cfg, generator_cls=DeltaNGFDataGenerator, sync=True,
 
     refresh_valid_fn = None
     if train_fusion:
-        from .grasp_common import make_compute_features
-        from .session import get_inputs
+        import jax
+
+        # one jitted program reused across evals (params ride as an
+        # argument — large closed-over constants ship with every remote
+        # compile request on axon)
+        feat_fn = jax.jit(lambda p, obs, tok: model.apply(
+            {"params": p}, obs, tok, method="compute_features"))
 
         def refresh_valid_fn(valid_data):
             # the decoder trained — the precomputed fused validation
             # features are stale; recompute with the current params
-            fn = make_compute_features(model, state_box["state"], tokenize_fn)
-            return [(inp, fn(inp[0], inp[3]), info, gp)
+            p = state_box["state"].params
+            return [(inp, feat_fn(p, jnp.asarray(inp[0], jnp.float32),
+                                  inp[3]), info, gp)
                     for (inp, _feats, info, gp) in valid_data]
 
     oc = cfg.validation.grasp_opt_config.optimization_config.to_dict()

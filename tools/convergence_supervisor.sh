@@ -64,18 +64,27 @@ run_with_retry() {
   local n=0
   until [ "$n" -ge "$MAX_RETRY" ]; do
     local budget=$(( run_budget - spent ))
-    if [ -n "${DEADLINE_TS:-}" ]; then
-      local to_deadline=$(( DEADLINE_TS - $(date +%s) ))
-      [ "$budget" -gt "$to_deadline" ] && budget=$to_deadline
-      if [ "$budget" -lt 900 ]; then
-        echo "$(date -u +%T) [$name] deadline reached; leaving resume point"
-        return 1
-      fi
-    fi
+    # run-budget exhaustion FIRST (resumable success -> next run). The
+    # deadline branch must only fire on the GLOBAL deadline — round-4 bug:
+    # a spent run budget fell into the deadline branch's return 1 and took
+    # the whole supervisor down before the later runs started.
     if [ "$budget" -lt 300 ]; then
       echo "$(date -u +%T) [$name] run budget exhausted; next run"
       return 0
     fi
+    if [ -n "${DEADLINE_TS:-}" ]; then
+      local to_deadline=$(( DEADLINE_TS - $(date +%s) ))
+      if [ "$to_deadline" -lt 900 ]; then
+        echo "$(date -u +%T) [$name] deadline reached; leaving resume point"
+        return 1
+      fi
+      [ "$budget" -gt "$to_deadline" ] && budget=$to_deadline
+    fi
+    # slice every attempt below the host-OOM horizon: the axon client leaks
+    # ~30 MB of host RAM per transferred batch (measured, round 4 — the
+    # 128 GB host OOM-killed the nerf trainer at ~85 min), so attempts are
+    # bounded and resume; rc=124 on a slice continues the same run.
+    [ "$budget" -gt "${OOM_SLICE:-4500}" ] && budget=${OOM_SLICE:-4500}
     wait_tunnel
     echo "$(date -u +%T) [$name] attempt $((n+1))/$MAX_RETRY (budget ${budget}s)"
     local t0=$(date +%s)
@@ -103,9 +112,17 @@ run_with_retry() {
       return 0
     fi
     if [ $rc -eq 124 ]; then
-      # budget exhausted: resumable success for this round
-      echo "$(date -u +%T) [$name] budget exhausted (resumable); next run"
-      return 0
+      # slice boundary: resume the SAME run (budget accounting decides when
+      # to move on); a fresh process also resets the leaked host RAM
+      echo "$(date -u +%T) [$name] slice done (${spent}s spent); resuming"
+      continue
+    fi
+    if [ $rc -eq 137 ]; then
+      # OOM-killed (host RAM leak): resume in a fresh process without
+      # burning a retry — this is the environment, not the trainer
+      echo "$(date -u +%T) [$name] OOM-killed; resuming in a fresh process"
+      sleep 30
+      continue
     fi
     echo "$(date -u +%T) [$name] rc=$rc; retrying (resume-safe)"
     n=$((n+1))

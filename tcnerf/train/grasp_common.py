@@ -47,6 +47,14 @@ def build_grasp_model(cfg, n_points_train: Optional[int] = None,
         # remat the fusion decoder when it trains (multi-GB U-Net
         # activations at batch 8 full-res otherwise)
         remat_fusion=cfg.grasp_training.get("train_fusion", False),
+        # corner-gather pre-builds a [B, H, W, 4*hidden] corner image —
+        # a serving-scale optimization. When the FEATURE PATH trains
+        # (train_fusion), its backward also materializes that image's
+        # cotangent (~2x5 GB at batch 8 full-res -> HBM OOM, measured);
+        # default to the reference-shaped scattered gather in that mode.
+        corner_gather=cfg.grasp_training.get(
+            "corner_gather", not cfg.grasp_training.get("train_fusion",
+                                                        False)),
     )
     if gm.get("encoding", "fourier") == "hashgrid":
         # instant-NGP hash-grid grasp field (BASELINE config 4); bounds come

@@ -208,7 +208,12 @@ def get_inputs(dataset, sample_idx: int, n_images: int, compute_features_fn,
     intrinsics = np.asarray([intrinsics], np.float32)
     extrinsics_inv = np.asarray([extrinsics_inv], np.float32)
     input_data = [observations, intrinsics, extrinsics_inv, tokens]
-    features = compute_features_fn(observations, tokens)
+    # pull the precomputed features to HOST: at full language scale one
+    # sample's fused features are [1, 3, 480, 640, 256] f32 ~ 3.7 GB —
+    # keeping all validation samples resident on device starves the 16 GB
+    # HBM the training step needs (measured OOM, round 4); the ascent
+    # re-transfers them per validation pass instead
+    features = np.asarray(compute_features_fn(observations, tokens))
     task_info = (dataset.datasets["info"].read_sample(sample_idx)
                  if "info" in dataset.datasets else {})
     grasp_pose = dataset.datasets["grasp_pose"].read_sample(sample_idx)

@@ -146,10 +146,13 @@ def run_delta_training(cfg, generator_cls=DeltaNGFDataGenerator, sync=True,
 
         def refresh_valid_fn(valid_data):
             # the decoder trained — the precomputed fused validation
-            # features are stale; recompute with the current params
+            # features are stale; recompute with the current params.
+            # np.asarray: features live on HOST between validations (4
+            # full-scale samples ~ 15 GB would starve HBM — see get_inputs)
             p = state_box["state"].params
-            return [(inp, feat_fn(p, jnp.asarray(inp[0], jnp.float32),
-                                  inp[3]), info, gp)
+            return [(inp, np.asarray(feat_fn(p, jnp.asarray(inp[0],
+                                                            jnp.float32),
+                                             inp[3])), info, gp)
                     for (inp, _feats, info, gp) in valid_data]
 
     oc = cfg.validation.grasp_opt_config.optimization_config.to_dict()

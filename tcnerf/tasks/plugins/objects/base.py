@@ -15,7 +15,9 @@ import numpy as np
 from ... import factory
 from ...transform import Affine
 from ...transform_utils.differences import (point_to_segment_distance,
-                                            rotation_to_line_difference)
+                                            project_point_on_plane,
+                                            rotation_to_line_difference,
+                                            triangle_area)
 from ...transform_utils.random import (sample_pose_from_rectangle,
                                        sample_pose_from_segment)
 
@@ -57,28 +59,64 @@ class PickObject(SceneObject):
 
     def compute_pose_errors(self, gripper_pose: Affine,
                             rotational_symmetries: int = 1) -> List[Tuple[float, float]]:
-        """Translational distance to each grasp area + rotational error of the
-        gripper x-axis to the grasp line, modulo gripper symmetry."""
+        """Pose error to each configured grasp area.
+
+        Segments (reference plugins/objects/base.py:96-124): translational
+        distance of the gripper to the a→b segment + rotational error of the
+        gripper x-axis to the grasp line, modulo gripper symmetry.
+
+        Rectangles (reference plugins/objects/base.py:125-187 +
+        geometric_utils.py:4-12): project the gripper translation onto the
+        (horizontal) rectangle plane; if the projection lies inside the
+        rectangle (sum of the four projection-corner triangle areas equals the
+        rectangle area) the translational error is the |plane distance|,
+        otherwise the minimum distance to the four edges. Rotational error is
+        the tilt of the gripper z-axis off the plane normal (symmetries do not
+        apply — any planar yaw grasps a rectangle).
+        """
         errors = []
         for area in self.pick_config:
             if area["type"] == "segment":
                 a = (self.pose * Affine(translation=area["point_a"])).translation
                 b = (self.pose * Affine(translation=area["point_b"])).translation
+                t_error = point_to_segment_distance(gripper_pose.translation, a, b)
+                if np.linalg.norm(b - a) < 1e-12:
+                    r_error = 0.0
+                else:
+                    r_error, _ = rotation_to_line_difference(
+                        gripper_pose.rotation, a, b)
+                    if rotational_symmetries > 1:
+                        period = np.pi / rotational_symmetries
+                        r_error = min(r_error % (2 * period),
+                                      abs((r_error % (2 * period)) - 2 * period))
+                errors.append((float(t_error), float(r_error)))
             elif area["type"] == "rectangle":
-                a = (self.pose * Affine(translation=area["point_a"])).translation
-                b = (self.pose * Affine(translation=area["point_b"])).translation
-            else:
-                continue
-            t_error = point_to_segment_distance(gripper_pose.translation, a, b)
-            if np.linalg.norm(b - a) < 1e-12:
-                r_error = 0.0
-            else:
-                r_error, _ = rotation_to_line_difference(gripper_pose.rotation, a, b)
-                if rotational_symmetries > 1:
-                    period = np.pi / rotational_symmetries
-                    r_error = min(r_error % (2 * period),
-                                  abs((r_error % (2 * period)) - 2 * period))
-            errors.append((float(t_error), float(r_error)))
+                corners = [(self.pose * Affine(translation=area[k])).translation
+                           for k in ("point_a", "point_b", "point_c", "point_d")]
+                a, b, c, d = corners
+                normal = np.array([0.0, 0.0, 1.0])
+                projection, distance = project_point_on_plane(
+                    gripper_pose.translation, a, normal)
+                # convex rectangle: projection is inside iff the four
+                # projection-corner triangles tile the rectangle exactly
+                t_area = (triangle_area(projection, a, b)
+                          + triangle_area(projection, b, c)
+                          + triangle_area(projection, c, d)
+                          + triangle_area(projection, d, a))
+                r_area = triangle_area(a, b, c) + triangle_area(a, c, d)
+                if abs(t_area - r_area) <= 3e-5:
+                    t_error = abs(distance)
+                else:
+                    g = gripper_pose.translation
+                    t_error = min(point_to_segment_distance(g, a, b),
+                                  point_to_segment_distance(g, b, c),
+                                  point_to_segment_distance(g, c, d),
+                                  point_to_segment_distance(g, d, a))
+                z_axis = gripper_pose.rotation @ normal
+                cos = float(np.dot(z_axis, normal))
+                sin = float(np.linalg.norm(np.cross(z_axis, normal)))
+                r_error = abs(float(np.arctan2(sin, cos)))
+                errors.append((float(t_error), r_error))
         return errors
 
 

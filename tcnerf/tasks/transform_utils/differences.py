@@ -29,6 +29,28 @@ def point_to_segment_distance(point, line_point_a, line_point_b):
     return float(np.linalg.norm(point - (a + t * ab)))
 
 
+def project_point_on_plane(point, plane_point, plane_normal):
+    """Project a point onto a plane; returns (projection, signed_distance).
+
+    Reference manipulation_tasks/geometric_utils.py:4-9 — the signed distance
+    is along the (normalized) plane normal from the point TO the plane.
+    """
+    point = np.asarray(point, dtype=np.float64)
+    plane_point = np.asarray(plane_point, dtype=np.float64)
+    normal = np.asarray(plane_normal, dtype=np.float64)
+    normal = normal / np.linalg.norm(normal)
+    distance = float(np.dot(plane_point - point, normal))
+    return point + distance * normal, distance
+
+
+def triangle_area(a, b, c):
+    """Area of the 3D triangle (a, b, c) (reference geometric_utils.py:12)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    return 0.5 * float(np.linalg.norm(np.cross(b - a, c - a)))
+
+
 def transformation_difference(pose_a: Affine, pose_b: Affine):
     """(translational, rotational) difference between two Affine poses."""
     translation_error = float(np.linalg.norm(pose_a.translation - pose_b.translation))

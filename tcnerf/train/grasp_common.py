@@ -109,7 +109,17 @@ def load_backbone(state, cfg, fusion: bool = False):
     meta = ckpt.load_meta(backbone)
     if fusion:
         flavor_ok = True
-        if meta is not None:
+        # only CLIP-fusion pretrains (v3/v4) carry a fusion decoder whose
+        # flavor can mismatch; a fusion='without' backbone (the common
+        # stage-1 pretrain, e.g. language_convergence.yaml's) has no decoder
+        # to validate — go straight to the bare-backbone fallback instead of
+        # mis-warning about renderer-default flavor keys (ADVICE r4)
+        if meta is not None and meta.get("fusion") not in ("v3", "v4"):
+            flavor_ok = False
+            logger.info(f"Backbone at {backbone} is fusion="
+                        f"{meta.get('fusion')!r} (no stage-1 fusion decoder); "
+                        "loading the bare backbone.")
+        elif meta is not None:
             want = {"fusion_use_dense": True, "fusion_activation": "elu"}
             mismatches = {k: (meta.get(k), v) for k, v in want.items()
                           if meta.get(k) != v}
@@ -193,11 +203,26 @@ def make_compute_features(model, state, tokenize_fn=None):
     return compute
 
 
-def collect_valid_data(valid_dataset, cfg, model, state, tokenize_fn=None):
+def collect_valid_data(valid_dataset, cfg, model, state, tokenize_fn=None,
+                       defer_features=False):
+    """Assemble the validation samples with precomputed fused features.
+
+    defer_features=True computes features only for the FIRST sample (the
+    warm-up validation's input); the rest get features=None and are filled by
+    the session loop's refresh_valid_fn before the first real validation —
+    when the feature path trains, startup features for samples 1..n would be
+    recomputed before ever being consumed (one wasted full CLIP+encoder+
+    decoder forward per sample at startup; ADVICE r4).
+    """
     n_images = int(cfg.validation.grasp_opt_config.optimizer_config.n_images)
     fn = make_compute_features(model, state, tokenize_fn)
-    return [get_inputs(valid_dataset, i, n_images, fn, tokenize_fn)
-            for i in cfg.validation.valid_sample_indices]
+    out = []
+    for k, i in enumerate(cfg.validation.valid_sample_indices):
+        feat_fn = fn if (k == 0 or not defer_features) else (
+            lambda obs, tok: None)
+        out.append(get_inputs(valid_dataset, i, n_images, feat_fn,
+                              tokenize_fn))
+    return out
 
 
 def build_oracle(cfg):

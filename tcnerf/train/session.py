@@ -213,7 +213,9 @@ def get_inputs(dataset, sample_idx: int, n_images: int, compute_features_fn,
     # keeping all validation samples resident on device starves the 16 GB
     # HBM the training step needs (measured OOM, round 4); the ascent
     # re-transfers them per validation pass instead
-    features = np.asarray(compute_features_fn(observations, tokens))
+    features = compute_features_fn(observations, tokens)
+    if features is not None:  # None = deferred to the session refresh
+        features = np.asarray(features)
     task_info = (dataset.datasets["info"].read_sample(sample_idx)
                  if "info" in dataset.datasets else {})
     grasp_pose = dataset.datasets["grasp_pose"].read_sample(sample_idx)

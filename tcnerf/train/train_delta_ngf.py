@@ -107,7 +107,9 @@ def run_delta_training(cfg, generator_cls=DeltaNGFDataGenerator, sync=True,
                                       if fusion is not None else ()))
 
     pose_optimizer = build_pose_optimizer(model, state, cfg)
-    valid_data = collect_valid_data(valid_dataset, cfg, model, state, tokenize_fn)
+    valid_data = collect_valid_data(valid_dataset, cfg, model, state,
+                                    tokenize_fn,
+                                    defer_features=train_fusion)
 
     loss_name = cfg.grasp_training.get("loss", "cross_entropy")
     nt = cfg.grasp_training

@@ -236,6 +236,42 @@ class TestTaskFramework:
         with pytest.raises(ValueError, match="unknown oracle type"):
             factory.create_oracle({"oracle_type": "nope"})
 
+    def test_rectangle_pose_errors(self):
+        """Rectangle grasp areas: plane projection + triangle-area containment
+        (reference plugins/objects/base.py:125-187, geometric_utils.py:4-12).
+        Hand-computed cases."""
+        from tcnerf.tasks.plugins.objects.base import PickObject
+
+        rect = {"type": "rectangle",
+                "point_a": [-0.1, -0.05, 0.0], "point_b": [0.1, -0.05, 0.0],
+                "point_c": [0.1, 0.05, 0.0], "point_d": [-0.1, 0.05, 0.0]}
+        obj = PickObject(pick_config=[rect])
+
+        # inside the rectangle: t_error = |plane distance|, upright => r=0
+        (t, r), = obj.compute_pose_errors(
+            Affine(translation=[0.0, 0.0, 0.02]))
+        assert abs(t - 0.02) < 1e-9 and abs(r) < 1e-9
+
+        # outside: min 3D distance to the four edges; 30deg x-tilt => r=pi/6
+        g = Affine(translation=[0.2, 0.0, 0.03],
+                   rotation=[np.pi / 6, 0.0, 0.0])
+        (t, r), = obj.compute_pose_errors(g)
+        assert abs(t - np.sqrt(0.1 ** 2 + 0.03 ** 2)) < 1e-9
+        assert abs(r - np.pi / 6) < 1e-9
+
+        # object pose carries the rectangle; yaw about z keeps it horizontal
+        obj2 = PickObject(pose=Affine(translation=[0.5, 0.2, 0.1],
+                                      rotation=[0.0, 0.0, 0.7]),
+                          pick_config=[rect])
+        (t, r), = obj2.compute_pose_errors(
+            Affine(translation=[0.5, 0.2, 0.15]))
+        assert abs(t - 0.05) < 1e-9 and abs(r) < 1e-9
+
+        # boundary containment tolerance: a point ON the edge counts inside
+        (t, _), = obj.compute_pose_errors(
+            Affine(translation=[0.1, 0.0, 0.04]))
+        assert abs(t - 0.04) < 1e-9
+
 
 class TestTokenizer:
     def test_shapes_and_framing(self):

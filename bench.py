@@ -11,34 +11,40 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is relative to the 20M rays/sec/chip north-star (BASELINE.json) —
 the reference publishes no numbers of its own.
 
-Robustness contract (round-3 postmortem: the round-end bench was SIGKILLed
-mid-phase and printed nothing — BENCH_r03.json parsed=null):
-  * all measurement runs in a daemon worker thread; the MAIN thread only
-    waits, so SIGTERM/SIGINT are handled immediately even while the worker
-    blocks in a remote compile;
+Robustness contract (round-3 postmortem: TERM mid-phase printed nothing;
+round-4 postmortem: one phase's RESOURCE_EXHAUSTED starved every later
+phase because all phases shared one process and one HBM pool):
+  * the PARENT process never imports jax — each phase runs in a fresh
+    subprocess (`bench.py --phase NAME`), so HBM is fully released between
+    phases and one phase's OOM/crash/hang cannot take the others down;
   * the JSON line is emitted EXACTLY once — on completion, on signal, or
-    when the internal budget (TCNERF_BENCH_BUDGET_S, default 1500 s)
-    expires — with whatever fields have landed so far (missing ones null);
-  * the headline render phase runs first; secondary phases run in priority
-    order and each checks the remaining budget before starting.
+    when the internal budget (TCNERF_BENCH_BUDGET_S, see _BUDGET_S below)
+    expires — with whatever fields have landed so far (missing ones null)
+    and `completed` telling partial from full results; a signal exits
+    128+signum so drivers can also tell an interrupted bench by rc;
+  * preflight: stale tcnerf trainer/bench processes (found via their pid
+    files) are swept and stale chip locks cleared BEFORE the headline, so
+    an uncleanly-killed trainer's server-side HBM cannot starve the run;
+  * every phase subprocess activates the persistent compile cache via
+    tcnerf.utils.cache (runtime jax.config.update — the env-var route is
+    latched too early under the axon sitecustomize), so a prewarmed
+    .jax_cache makes the whole bench run in minutes.
 """
 
 import json
 import os
 import signal
+import subprocess
 import sys
-import threading
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+import numpy as np  # host-side only; never initializes a device backend
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# jax is imported ONLY in phase subprocesses (_child_main binds these
+# globals) — the parent must never initialize the TPU client, so the full
+# HBM pool belongs to whichever phase child is running.
+jax = None
+jnp = None
 
 NORTH_STAR = 20e6
 
@@ -64,13 +70,13 @@ CHIP_LOCK = "/tmp/tcnerf_chip_lock"
 # ---------------------------------------------------------------- emit-once
 
 _T0 = time.monotonic()
-# Budget calibration (measured cold, round 4): the axon platform does NOT
-# populate the JAX persistent cache (zero axon entries after a 63-min
-# all-phase run), so EVERY bench process recompiles over the tunnel —
-# headline ~2050 s, train_b8 ~535 s, clip ~231 s, dngf ~398 s. The round-3
-# failure (rc=124, nothing printed) is consistent with a ~3600 s driver
-# timeout; 3300 s leaves margin to emit even for a KILL-only driver, and
-# the SIGTERM handler covers everything beyond it.
+# Budget calibration: cold (empty .jax_cache) wall times measured round 4 —
+# headline ~2050 s, train_b8 ~535 s, clip ~231 s, dngf ~398 s; warm (cache
+# prewarmed by tools/tpu_checklist.sh, the intended state at round end) each
+# phase lands in ~1-3 min. The round-3 failure (rc=124, nothing printed) is
+# consistent with a ~3600 s driver timeout; 3300 s leaves margin to emit
+# even for a KILL-only driver, and the signal handler covers everything
+# beyond it.
 _BUDGET_S = float(os.environ.get("TCNERF_BENCH_BUDGET_S", "3300"))
 
 RESULTS = {
@@ -92,8 +98,12 @@ RESULTS = {
     "rays_per_sec_hashgrid": None,
     "rays_per_sec_sharded_image": None,
     "n_devices": None,
+    "completed": False,
+    "phase_status": {},
+    "preflight": [],
 }
-_EMITTED = threading.Event()
+_EMITTED = False
+_CHILD = None  # the currently-running phase subprocess (parent only)
 
 
 def _remaining() -> float:
@@ -102,9 +112,10 @@ def _remaining() -> float:
 
 def emit(reason: str):
     """Print the single JSON result line (exactly once, ever)."""
-    if _EMITTED.is_set():
+    global _EMITTED
+    if _EMITTED:
         return
-    _EMITTED.set()
+    _EMITTED = True
     if reason != "done":
         print(f"bench: emitting early ({reason}), "
               f"{time.monotonic() - _T0:.0f}s elapsed", file=sys.stderr)
@@ -115,10 +126,21 @@ def emit(reason: str):
         pass
 
 
+def _kill_child():
+    if _CHILD is not None and _CHILD.poll() is None:
+        _CHILD.terminate()
+        try:
+            _CHILD.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            _CHILD.kill()
+
+
 def _signal_handler(signum, frame):
+    _kill_child()
     emit(f"signal {signum}")
-    # leave no daemon threads mid-compile holding the process open
-    os._exit(0)
+    # nonzero exit: a driver checking rc must not record an interrupted
+    # bench as a clean success (the `completed` field says the same)
+    os._exit(128 + signum)
 
 
 # -------------------------------------------------------------------- phases
@@ -626,61 +648,128 @@ def bench_clip(batch: int = 32, iters: int = 4):
     return batch / dt
 
 
+# ------------------------------------------------------------------- phases
+
+PHASE_PID = "/tmp/tcnerf_bench_phase.pid"
+TRAINER_PID = "/tmp/tcnerf_trainer.pid"
+
+
+def _run_phase(phase: str) -> dict:
+    """Execute one phase (inside the subprocess) → field-update dict."""
+    if phase == "render":
+        bench_render()
+        RESULTS["n_devices"] = len(jax.devices())
+        keys = ("metric", "value", "vs_baseline", "useful_tflops",
+                "pct_of_chain_ceiling", "swg_overflow_chunks", "n_devices")
+        return {k: RESULTS[k] for k in keys}
+    if phase == "train_b8":
+        ms = round(bench_train_step(batch=8), 2)
+        tflop = train_step_useful_tflop(batch=8)
+        return {"train_step_ms_b8": ms,
+                "train_tflops_b8": round(tflop / (ms / 1e3), 2),
+                "train_mfu_pct_b8": round(
+                    100 * tflop / (ms / 1e3) / PEAK_TFLOPS, 1)}
+    if phase == "train_b1":
+        return {"train_step_ms_b1": round(bench_train_step(batch=1), 2)}
+    if phase == "clip":
+        return {"clip_images_per_sec": round(bench_clip(), 1)}
+    if phase == "dngf_b8":
+        return {"dngf_train_step_ms_b8": round(bench_dngf_step(batch=8), 2)}
+    if phase == "3view":
+        return {"rays_per_sec_3view": round(bench_3view(), 1)}
+    if phase == "hashgrid":
+        return {"rays_per_sec_hashgrid": round(bench_hashgrid(), 1)}
+    if phase == "sharded":
+        return {"rays_per_sec_sharded_image": round(bench_sharded(), 1)}
+    raise ValueError(f"unknown phase {phase!r}")
+
+
+def _child_main(phase: str, out_path: str):
+    """Phase-subprocess entry: own TPU client, own HBM pool, compile cache."""
+    try:
+        with open(PHASE_PID, "w") as f:
+            f.write(f"{os.getpid()} {phase}")
+    except OSError:
+        pass
+    global jax, jnp
+    import jax  # noqa: F811 — binds the module-level lazy globals
+    import jax.numpy as jnp  # noqa: F811
+    from tcnerf.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+    try:
+        fields = _run_phase(phase)
+    except Exception as e:  # noqa: BLE001
+        if "RESOURCE_EXHAUSTED" in repr(e):
+            # chip HBM may be held server-side by an uncleanly-dead client;
+            # the axon server GCs dead sessions — wait once and retry
+            print(f"bench[{phase}]: RESOURCE_EXHAUSTED; retrying in 60 s",
+                  file=sys.stderr)
+            time.sleep(60)
+            fields = _run_phase(phase)
+        else:
+            raise
+    with open(out_path, "w") as f:
+        json.dump(fields, f)
+    try:
+        os.remove(PHASE_PID)
+    except OSError:
+        pass
+
+
 # ------------------------------------------------------------------- driver
 
-
-def _phase(name: str, env: str, min_budget_s: float, fn):
-    """Run one secondary phase if enabled and the budget allows."""
-    if os.environ.get(env, "1") == "0":
-        return
-    if _remaining() < min_budget_s:
-        print(f"bench: skipping {name} ({_remaining():.0f}s left "
-              f"< {min_budget_s:.0f}s floor)", file=sys.stderr)
-        return
-    t0 = time.monotonic()
-    try:
-        fn()
-        print(f"bench: {name} done in {time.monotonic() - t0:.0f}s",
-              file=sys.stderr)
-    except Exception as e:  # noqa: BLE001 — phases must never kill the line
-        print(f"bench: {name} failed: {e!r}", file=sys.stderr)
+# (name, gate env var, per-phase COLD wall-time cap in seconds — measured
+# round-4 cold times + margin; a warm (.jax_cache prewarmed) phase lands in
+# ~1-3 min). Priority order: the headline is the round scoreboard, then
+# train/dngf (the VERDICT focus), then the rest.
+PHASE_TABLE = [
+    ("render", "TCNERF_BENCH_RENDER", 2500),
+    ("train_b8", "TCNERF_BENCH_TRAIN", 900),
+    ("clip", "TCNERF_BENCH_CLIP", 450),
+    ("dngf_b8", "TCNERF_BENCH_TRAIN", 700),
+    ("3view", "TCNERF_BENCH_3VIEW", 900),
+    ("train_b1", "TCNERF_BENCH_TRAIN", 600),
+    ("hashgrid", "TCNERF_BENCH_HASHGRID", 450),
+    ("sharded", "TCNERF_BENCH_SHARDED", 450),
+]
 
 
-def _worker():
-    # headline first — unconditionally (this is the round scoreboard)
-    try:
-        bench_render()
-    except Exception as e:  # noqa: BLE001
-        print(f"bench: HEADLINE render failed: {e!r}", file=sys.stderr)
+def _preflight():
+    """Sweep stale tcnerf processes/locks so the chip starts free.
 
-    def train_b8():
-        ms = round(bench_train_step(batch=8), 2)
-        RESULTS["train_step_ms_b8"] = ms
-        tflop = train_step_useful_tflop(batch=8)
-        RESULTS["train_tflops_b8"] = round(tflop / (ms / 1e3), 2)
-        RESULTS["train_mfu_pct_b8"] = round(
-            100 * tflop / (ms / 1e3) / PEAK_TFLOPS, 1)
-
-    # priority order; min-budget floors = measured COLD wall times (every
-    # run is cold on axon — remote compiles never reach the persistent
-    # cache), so a phase only starts when it can finish inside the budget
-    _phase("train_b8", "TCNERF_BENCH_TRAIN", 560, train_b8)
-    _phase("clip", "TCNERF_BENCH_CLIP", 240, lambda: RESULTS.update(
-        clip_images_per_sec=round(bench_clip(), 1)))
-    _phase("dngf_b8", "TCNERF_BENCH_TRAIN", 420, lambda: RESULTS.update(
-        dngf_train_step_ms_b8=round(bench_dngf_step(batch=8), 2)))
-    _phase("3view", "TCNERF_BENCH_3VIEW", 600, lambda: RESULTS.update(
-        rays_per_sec_3view=round(bench_3view(), 1)))
-    _phase("train_b1", "TCNERF_BENCH_TRAIN", 320, lambda: RESULTS.update(
-        train_step_ms_b1=round(bench_train_step(batch=1), 2)))
-    _phase("hashgrid", "TCNERF_BENCH_HASHGRID", 150, lambda: RESULTS.update(
-        rays_per_sec_hashgrid=round(bench_hashgrid(), 1)))
-    # off by default on 1 chip (the headline covers single-chip serving);
-    # flip on when running on a real multi-chip slice
-    if os.environ.get("TCNERF_BENCH_SHARDED", "0") == "1":
-        _phase("sharded", "TCNERF_BENCH_SHARDED", 200, lambda: RESULTS.update(
-            rays_per_sec_sharded_image=round(bench_sharded(), 1),
-            n_devices=len(jax.devices())))
+    Round-4 postmortem: the driver bench inherited a nearly-full chip after
+    the supervisor's trainer was SIGKILLed — every secondary phase died with
+    RESOURCE_EXHAUSTED. Trainers and phase children write pid files; anything
+    still alive there is ours and stale by definition when a bench starts."""
+    notes = RESULTS["preflight"]
+    for pidfile in (TRAINER_PID, PHASE_PID):
+        try:
+            with open(pidfile) as f:
+                pid = int(f.read().split()[0])
+        except (OSError, ValueError, IndexError):
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode(errors="replace")
+        except OSError:
+            cmd = ""
+        if pid != os.getpid() and ("tcnerf" in cmd or "bench.py" in cmd):
+            notes.append(f"killed stale pid {pid} ({os.path.basename(pidfile)})")
+            try:
+                os.kill(pid, signal.SIGTERM)
+                for _ in range(20):
+                    time.sleep(1)
+                    os.kill(pid, 0)
+                os.kill(pid, signal.SIGKILL)
+            except OSError:
+                pass
+        try:
+            os.remove(pidfile)
+        except OSError:
+            pass
+    if not notes:
+        notes.append("clean")
 
 
 def main():
@@ -698,26 +787,81 @@ def main():
     signal.signal(signal.SIGTERM, _signal_handler)
     signal.signal(signal.SIGINT, _signal_handler)
 
-    worker = threading.Thread(target=_worker, daemon=True)
-    worker.start()
-    # the MAIN thread only waits: signals are delivered here immediately,
-    # even while the worker blocks in a (minutes-long) remote compile
+    _preflight()
+
+    global _CHILD
+    out_path = f"/tmp/tcnerf_bench_phase_{os.getpid()}.json"
+    status = RESULTS["phase_status"]
     last_touch = time.monotonic()
-    while worker.is_alive():
-        worker.join(timeout=5.0)
-        if time.monotonic() - last_touch > 600:
-            # keep the cooperative lock FRESH: background trainers treat a
-            # >30-min-old lock as stale and would grab the chip mid-bench
-            last_touch = time.monotonic()
+    for name, gate, cold_cap in PHASE_TABLE:
+        if gate and os.environ.get(gate, "1") == "0":
+            status[name] = "disabled"
+            continue
+        # leave 60 s to run + emit whatever is left; the per-phase timeout
+        # caps a hung/cold phase so it cannot starve the ones after it
+        budget = min(_remaining() - 60, cold_cap)
+        if budget < 90:
+            status[name] = "skipped (budget)"
+            print(f"bench: skipping {name} ({_remaining():.0f}s left)",
+                  file=sys.stderr)
+            continue
+        try:
+            os.remove(out_path)
+        except OSError:
+            pass
+        t0 = time.monotonic()
+        _CHILD = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--phase", name, "--out", out_path])
+        rc = None
+        while rc is None:
             try:
-                os.utime(CHIP_LOCK)
-            except OSError:
-                pass
+                rc = _CHILD.wait(timeout=5.0)
+            except subprocess.TimeoutExpired:
+                if time.monotonic() - t0 > budget:
+                    _kill_child()
+                    rc = "timeout"
+                    break
+                if time.monotonic() - last_touch > 600:
+                    # keep the cooperative lock FRESH: background trainers
+                    # treat a >30-min-old lock as stale and would grab the
+                    # chip mid-bench
+                    last_touch = time.monotonic()
+                    try:
+                        os.utime(CHIP_LOCK)
+                    except OSError:
+                        pass
+        _CHILD = None
+        dt = time.monotonic() - t0
+        if rc == 0 and os.path.exists(out_path):
+            try:
+                with open(out_path) as f:
+                    RESULTS.update(json.load(f))
+                status[name] = f"ok ({dt:.0f}s)"
+            except (OSError, ValueError) as e:
+                status[name] = f"bad output: {e!r}"
+        else:
+            status[name] = f"rc={rc} ({dt:.0f}s)"
+        print(f"bench: {name} -> {status[name]}", file=sys.stderr)
         if _remaining() <= 0:
             emit("internal budget expired")
             os._exit(0)
+    try:
+        os.remove(out_path)
+    except OSError:
+        pass
+    RESULTS["completed"] = all(
+        str(v).startswith(("ok", "disabled")) for v in status.values())
     emit("done")
 
 
 if __name__ == "__main__":
-    main()
+    if "--phase" in sys.argv:
+        import argparse
+        p = argparse.ArgumentParser()
+        p.add_argument("--phase", required=True)
+        p.add_argument("--out", required=True)
+        a = p.parse_args()
+        _child_main(a.phase, a.out)
+    else:
+        main()

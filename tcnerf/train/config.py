@@ -163,6 +163,17 @@ def main_config(config_path: str, config_name: str):
     def decorator(fn):
         @functools.wraps(fn)
         def wrapper(argv: Union[List[str], None] = None):
+            # every entry point gets the persistent compile cache (runtime
+            # jax.config.update — the env-var route is latched too early
+            # under the axon sitecustomize, tcnerf/utils/cache.py) and a
+            # pid file for bench.py's stale-trainer preflight sweep
+            from ..utils.cache import enable_compile_cache
+            enable_compile_cache()
+            try:
+                with open("/tmp/tcnerf_trainer.pid", "w") as f:
+                    f.write(f"{os.getpid()} {fn.__module__}")
+            except OSError:
+                pass
             module_dir = os.path.dirname(os.path.abspath(
                 inspect.getfile(fn)))
             config_dir = os.path.join(module_dir, config_path)

@@ -206,7 +206,23 @@ def bench_render():
         # sorted-window fused gather+MLP kernel (ops/pallas/swg.py):
         # chunk-invariant prep (pre-projection, transposes, permuted heads)
         # runs ONCE outside the scan
-        from tcnerf.models.fused import swg_prepare, swg_render_chunk
+        from tcnerf.models.fused import (derive_window_knobs, swg_prepare,
+                                         swg_render_chunk)
+
+        ka_env = knob("TCNERF_BENCH_KA", "4")
+        ka_c_env = knob("TCNERF_BENCH_KA_C", "12")
+        if ka_env == "auto":
+            # adaptive windows: replay the kernel's span math on the REAL
+            # bench geometry instead of trusting ring-tuned static knobs
+            kn = derive_window_knobs(
+                ro, rd, k4, ext_inv, (h, w), n_samples=64, near=0.3, far=1.3,
+                bq=int(knob("TCNERF_BENCH_BQ", "1024")),
+                sg=int(knob("TCNERF_BENCH_SG", "8")),
+                sg_c=int(knob("TCNERF_BENCH_SG_C", "8")),
+                patch_cap=int(knob("TCNERF_BENCH_PATCH_CAP", "8192")))
+            ka_env, ka_c_env = str(kn["ka"]), str(kn["ka_c"])
+            print(f"bench: adaptive windows ka={ka_env} ka_c={ka_c_env} "
+                  f"{kn['stats']}", file=sys.stderr)
 
         @jax.jit
         def render_many(params, ray_o, ray_d, keys):
@@ -223,10 +239,10 @@ def bench_render():
                 out = swg_render_chunk(
                     prepared, ray_o, ray_d, inputs[3], inputs[4], key,
                     n_samples=64, near=0.3, far=1.3, n_blocks=6,
-                    ka=int(knob("TCNERF_BENCH_KA", "4")),
+                    ka=int(ka_env),
                     bq=int(knob("TCNERF_BENCH_BQ", "1024")),
                     sg=int(knob("TCNERF_BENCH_SG", "8")),
-                    ka_c=int(knob("TCNERF_BENCH_KA_C", "12")),
+                    ka_c=int(ka_c_env),
                     sg_c=int(knob("TCNERF_BENCH_SG_C", "8")),
                     msplit=int(knob("TCNERF_BENCH_MSPLIT", "4")),
                     patch_cap=int(knob("TCNERF_BENCH_PATCH_CAP", "8192")))

@@ -313,6 +313,72 @@ def swg_render_chunk(prepared, ray_o, ray_d, src_intrinsics,
     return rgb, depth, fine_rgb, fine_depth, n_overflow
 
 
+def derive_window_knobs(ray_o, ray_d, src_intrinsics, src_extrinsics_inv,
+                        image_hw, n_samples: int = 64, near: float = 0.3,
+                        far: float = 1.3, bq: int = 1024, sg: int = 8,
+                        sg_c: int = 8, patch_cap: int = 8192,
+                        ka_min: int = 2, ka_max: int = 16, seed: int = 0):
+    """Derive (ka, ka_c) from the ACTUAL serving geometry (host-side numpy).
+
+    The sorted-window kernel's window width ka is a throughput/overflow
+    trade that depends entirely on the source/target camera baseline: it
+    sets how many 128-row image groups each 128-query subgroup's sorted key
+    span must fit in (swg_rows' span check). Static knobs tuned on one
+    camera ring (docs/perf_notes.md round-3 sweep) silently over- or
+    under-window other rigs. This probe replays the kernel's exact span
+    math on the caller's real rays — stratified coarse samples and a
+    3x-density fine-stage surrogate (pdf-resampled fine z's cluster at
+    coarse weight peaks, widening tail spans; the patch_cap/2 budget leaves
+    headroom for that) — and returns the narrowest windows whose expected
+    overflow the block-level patch repair absorbs.
+
+    ray_o/ray_d: [N, 3] or [B, N, 3] target rays; src_intrinsics/
+    src_extrinsics_inv: [4, 4] (or leading-batched) view-0 camera.
+    Returns {"ka", "ka_c", "stats"}.
+    """
+    from .inference import _swg_window_spans  # shared exact span replica
+
+    ray_o = np.asarray(ray_o, np.float64).reshape(-1, 3)
+    ray_d = np.asarray(ray_d, np.float64).reshape(-1, 3)
+    k4 = np.asarray(src_intrinsics, np.float64).reshape(-1, 4, 4)[0]
+    e4 = np.asarray(src_extrinsics_inv, np.float64).reshape(-1, 4, 4)[0]
+    h, w = image_hw
+    w_pad = ((w + 127) // 128) * 128
+    rng = np.random.default_rng(seed)
+    n_rays = ray_o.shape[0]
+
+    def stage_keys(n_stage):
+        # stratified z like core.sampling.sample_along_ray
+        edges = np.linspace(near, far, n_stage + 1)[:-1]
+        z = edges + rng.uniform(size=(n_rays, n_stage)) * (
+            (far - near) / n_stage)
+        pts = ray_o[:, None, :] + z[..., None] * ray_d[:, None, :]
+        ph = np.concatenate([pts, np.ones_like(pts[..., :1])], axis=-1)
+        proj = (ph @ e4.T) @ k4.T
+        xy = proj[..., :2] / np.maximum(proj[..., 2:3], projection.Z_EPS)
+        xy = np.clip(xy, -projection.PIXEL_CLIP, projection.PIXEL_CLIP)
+        x0 = np.clip(np.floor(np.clip(xy[..., 0], 0.0, w - 1.0)), 0.0, w - 2.0)
+        y0 = np.clip(np.floor(np.clip(xy[..., 1], 0.0, h - 1.0)), 0.0, h - 2.0)
+        return (y0 * w_pad + x0).reshape(-1).astype(np.int64)
+
+    def pick(keys, n_stage, sub):
+        # one call = one chunk: the kernel sorts this whole batch together
+        budget = max(patch_cap // 2, sub)
+        for ka in range(ka_min, ka_max + 1):
+            n_over_q = max(_swg_window_spans(keys, n_rays * n_stage, sub, ka))
+            if n_over_q <= budget:
+                return ka, n_over_q
+        return ka_max, max(
+            _swg_window_spans(keys, n_rays * n_stage, sub, ka_max))
+
+    ka, over_f = pick(stage_keys(3 * n_samples), 3 * n_samples, bq // sg)
+    ka_c, over_c = pick(stage_keys(n_samples), n_samples, bq // sg_c)
+    return {"ka": ka, "ka_c": ka_c, "stats": {
+        "fine_expected_overflow_q": over_f,
+        "coarse_expected_overflow_q": over_c,
+    }}
+
+
 def swg_render_rays(params, ray_o, ray_d, src_images, src_intrinsics,
                     src_extrinsics_inv, combined_features, key,
                     n_samples: int = 64, near: float = 0.3, far: float = 1.3,

@@ -769,3 +769,34 @@ class TestWindowChooser:
         assert all(4 <= k <= 16 for k in wide + adj)
         # cache: same pair returns the identical tuple without recompute
         assert choose_swg_windows(*pair(5, 12), *args) == wide
+
+    def test_derive_window_knobs_tracks_baseline(self):
+        """derive_window_knobs (models/fused.py): the ray-batch variant of
+        the chooser — used by the bench's TCNERF_BENCH_KA=auto mode — must
+        widen windows with the source/target baseline exactly like the
+        raster chooser, on arbitrary (non-raster) ray batches."""
+        from tcnerf.core.rays import get_specific_rays
+        from tcnerf.data.synthetic import camera_ring
+        from tcnerf.models.fused import derive_window_knobs
+
+        cfgs = camera_ring(16, azimuth_span=np.deg2rad(100))
+        rng = np.random.default_rng(0)
+        pix_x = rng.uniform(0, 639, 8192).astype(np.float32)
+        pix_y = rng.uniform(0, 479, 8192).astype(np.float32)
+
+        def knobs(si, ti):
+            src, tgt = cfgs[si], cfgs[ti]
+            ro, rd = get_specific_rays(pix_x, pix_y, tgt["pose"],
+                                       tgt["intrinsics"].reshape(3, 3))
+            k4 = np.eye(4, dtype=np.float32)
+            k4[:3, :3] = src["intrinsics"].reshape(3, 3)
+            return derive_window_knobs(
+                ro, rd, k4, np.linalg.inv(src["pose"]), (480, 640),
+                n_samples=64, near=0.55, far=1.8)
+
+        wide = knobs(5, 12)
+        adj = knobs(5, 6)
+        assert 2 <= adj["ka"] <= wide["ka"] <= 16, (adj, wide)
+        assert 2 <= adj["ka_c"] <= 16 and 2 <= wide["ka_c"] <= 16
+        # the probe's expected overflow must sit inside the repair budget
+        assert adj["stats"]["fine_expected_overflow_q"] <= 8192 // 2

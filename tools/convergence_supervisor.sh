@@ -28,8 +28,32 @@ MAX_RETRY=${MAX_RETRY:-6}
 NERF_BUDGET=${NERF_BUDGET:-8400}
 LANG_BUDGET=${LANG_BUDGET:-7200}
 GOAL_BUDGET=${GOAL_BUDGET:-14400}
+# host-RAM fence (round-5, VERDICT item 6): the axon client leaks ~30 MB of
+# host RAM per transferred batch; instead of a fixed 85-min slice horizon,
+# the monitor loop watches the trainer's actual RSS and TERMs it at
+# RSS_CAP_KB (resume-safe slice boundary) — slices auto-size to the
+# measured leak rate and a slow-leak run gets its full budget in one piece.
+RSS_CAP_KB=${RSS_CAP_KB:-62000000}
+TRAINER_PID_FILE=/tmp/tcnerf_trainer.pid
 cd "$(dirname "$0")/.."
 mkdir -p "$WS"
+
+# no training process may outlive the supervisor (round-4 postmortem: a
+# SIGKILLed trainer's server-side HBM starved the round-end bench)
+CURRENT_TPID=""
+cleanup() {
+  if [ -n "$CURRENT_TPID" ] && kill -0 "$CURRENT_TPID" 2>/dev/null; then
+    echo "$(date -u +%T) supervisor exiting: draining trainer $CURRENT_TPID"
+    kill "$CURRENT_TPID" 2>/dev/null
+    for _ in $(seq 30); do
+      kill -0 "$CURRENT_TPID" 2>/dev/null || break
+      sleep 2
+    done
+    kill -9 "$CURRENT_TPID" 2>/dev/null
+  fi
+  rm -f "$TRAINER_PID_FILE"
+}
+trap cleanup EXIT TERM INT
 
 tunnel_up() {
   python3 - << 'EOF'
@@ -80,27 +104,39 @@ run_with_retry() {
       fi
       [ "$budget" -gt "$to_deadline" ] && budget=$to_deadline
     fi
-    # slice every attempt below the host-OOM horizon: the axon client leaks
-    # ~30 MB of host RAM per transferred batch (measured, round 4 — the
-    # 128 GB host OOM-killed the nerf trainer at ~85 min), so attempts are
-    # bounded and resume; rc=124 on a slice continues the same run.
-    [ "$budget" -gt "${OOM_SLICE:-4500}" ] && budget=${OOM_SLICE:-4500}
     wait_tunnel
     echo "$(date -u +%T) [$name] attempt $((n+1))/$MAX_RETRY (budget ${budget}s)"
     local t0=$(date +%s)
     timeout "$budget" "$@" >> "$WS/$name.log" 2>&1 &
     local tpid=$!
+    CURRENT_TPID=$tpid
     local preempted=0
+    local sliced=0
     while kill -0 "$tpid" 2>/dev/null; do
       if lock_fresh; then
         echo "$(date -u +%T) [$name] chip lock appeared — preempting (resume-safe)"
         kill "$tpid" 2>/dev/null
         preempted=1
       fi
+      # RSS fence: TERM (not KILL) the trainer BEFORE the host OOM-killer
+      # does — the python process under timeout is the leaky one
+      local pypid rss
+      pypid=$(cat "$TRAINER_PID_FILE" 2>/dev/null | cut -d' ' -f1)
+      if [ -n "${pypid:-}" ] && [ -r "/proc/$pypid/status" ]; then
+        rss=$(awk '/VmRSS/{print $2}' "/proc/$pypid/status")
+        if [ -n "${rss:-}" ] && [ "$rss" -gt "$RSS_CAP_KB" ]; then
+          echo "$(date -u +%T) [$name] RSS ${rss}kB > cap — slicing (resume-safe)"
+          kill "$tpid" 2>/dev/null
+          sliced=1
+        fi
+      fi
       sleep 30
     done
     wait "$tpid"
     rc=$?
+    CURRENT_TPID=""
+    # a TERM we sent for the RSS fence surfaces as rc=143: slice boundary
+    [ "$sliced" -eq 1 ] && [ $rc -eq 143 ] && rc=124
     spent=$(( spent + $(date +%s) - t0 ))
     if [ "$preempted" -eq 1 ]; then
       # not a failure: stand down, then resume without burning a retry

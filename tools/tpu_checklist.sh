@@ -39,5 +39,22 @@ timeout 5400 env TCNERF_TPU_TESTS=1 python -m pytest \
 echo "$(date -u +%T) TPU test run rc=$? $(tail -1 /tmp/checklist/tpu_tests.log \
   | head -c 200)" | tee -a /tmp/checklist/status
 
+# 3. no training/bench process may outlive the session (r4 postmortem: a
+# SIGKILLed trainer's server-side HBM starved the round-end driver bench).
+# Pid files are the only match mechanism — never pattern-match cmdlines.
+for pidfile in /tmp/tcnerf_trainer.pid /tmp/tcnerf_bench_phase.pid; do
+  pid=$(cut -d' ' -f1 "$pidfile" 2>/dev/null || true)
+  if [ -n "${pid:-}" ] && kill -0 "$pid" 2>/dev/null; then
+    echo "$(date -u +%T) sweeping stale pid $pid ($pidfile)" \
+      | tee -a /tmp/checklist/status
+    kill "$pid" 2>/dev/null
+    for _ in $(seq 30); do kill -0 "$pid" 2>/dev/null || break; sleep 2; done
+    kill -9 "$pid" 2>/dev/null
+  fi
+  rm -f "$pidfile"
+done
+rm -f /tmp/tcnerf_chip_lock
+
 rm -f /tmp/conv_hold
-echo "$(date -u +%T) checklist done — supervisor released" >> /tmp/checklist/status
+echo "$(date -u +%T) checklist done — supervisor released, chip swept" \
+  >> /tmp/checklist/status

@@ -787,6 +787,24 @@ def _preflight():
     if not notes:
         notes.append("clean")
 
+    # record tunnel/chip liveness so a null-field artifact is attributable:
+    # the axon relay has died mid-round twice before (r3, r5 — a trivial op
+    # hangs forever); without this note an outage is indistinguishable from
+    # a broken bench. The probe is a subprocess (the parent never imports
+    # jax) and its ~5 s warm / 180 s cap is charged to the budget up front.
+    t0 = time.monotonic()
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.arange(8.0))))"],
+            timeout=180, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL).returncode
+        notes.append(f"tunnel {'ok' if rc == 0 else f'probe rc={rc}'} "
+                     f"({time.monotonic() - t0:.0f}s)")
+    except subprocess.TimeoutExpired:
+        notes.append("tunnel DOWN (trivial-op probe hung 180s)")
+
 
 def main():
     # cooperative chip lock: long-running background jobs (the convergence

@@ -138,12 +138,12 @@ def main():
     def ray_fwdbwd_stop(params, feats):
         g = jax.grad(lambda p: ray_loss(p, jax.lax.stop_gradient(feats)))(
             params)
-        return g["fine_embedding"]["feature_0"]["dense_1"]["kernel"]
+        return jax.tree_util.tree_leaves(g["fine_embedding"])[0]
 
     @jax.jit
     def ray_fwdbwd_full(params, feats):
         gp, gf = jax.grad(ray_loss, argnums=(0, 1))(params, feats)
-        return (gp["fine_embedding"]["feature_0"]["dense_1"]["kernel"],
+        return (jax.tree_util.tree_leaves(gp["fine_embedding"])[0],
                 jnp.sum(gf.astype(jnp.float32)))
 
     print(f"ray_fwd          b{BATCH}: "

@@ -224,8 +224,12 @@ def bench_render():
             print(f"bench: adaptive windows ka={ka_env} ka_c={ka_c_env} "
                   f"{kn['stats']}", file=sys.stderr)
 
+        # big arrays (the 157 MB bf16 feature image, source images) ride as
+        # explicit jit ARGUMENTS: closed-over jnp arrays become jaxpr
+        # constants whose VALUES ship with every remote-compile request and
+        # bloat the persistent-cache entry (~510 MB measured round 5)
         @jax.jit
-        def render_many(params, ray_o, ray_d, keys):
+        def render_many(params, src_images_b, features, ray_o, ray_d, keys):
             prepared = swg_prepare(params, src_images_b, features,
                                    n_blocks=6, ka=4)
 
@@ -252,7 +256,7 @@ def bench_render():
             return acc, jnp.sum(n_of)
     else:
         @jax.jit
-        def render_many(params, ray_o, ray_d, keys):
+        def render_many(params, src_images_b, features, ray_o, ray_d, keys):
             def chunk(carry, key):
                 out = model.apply({"params": params}, ray_o, ray_d, src_images_b,
                                   inputs[3], inputs[4], features,
@@ -265,7 +269,8 @@ def bench_render():
     params = variables["params"]
     keys = jax.random.split(key, n_chunks)
     # warmup/compile (host pull = real sync)
-    acc, n_of = render_many(params, inputs[0], inputs[1], keys)
+    acc, n_of = render_many(params, src_images_b, features,
+                            inputs[0], inputs[1], keys)
     _ = float(acc)
     RESULTS["swg_overflow_chunks"] = int(n_of)
 
@@ -274,7 +279,8 @@ def bench_render():
     # actually synchronize through the axon tunnel (see docs/perf_notes.md)
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out, _nof = render_many(params, inputs[0], inputs[1], keys)
+        out, _nof = render_many(params, src_images_b, features,
+                                inputs[0], inputs[1], keys)
     _ = float(out)
     dt = time.perf_counter() - t0
 
@@ -542,18 +548,18 @@ def bench_train_step(batch: int, iters: int = 3, scan_len: int = 4,
     state = T.create_train_state(model, jax.random.PRNGKey(0), inputs)
 
     @jax.jit
-    def run(state, rng):
+    def run(state, inputs, labels, rng):
         def step(st, key):
             st, metrics = T.nerf_train_step(st, inputs, labels, key)
             return st, metrics["loss"]
 
         return jax.lax.scan(step, state, jax.random.split(rng, scan_len))
 
-    st, losses = run(state, jax.random.PRNGKey(1))
+    st, losses = run(state, inputs, labels, jax.random.PRNGKey(1))
     _ = float(losses[-1])                                  # warmup + sync
     t0 = time.perf_counter()
     for i in range(iters):
-        st, losses = run(st, jax.random.PRNGKey(2 + i))
+        st, losses = run(st, inputs, labels, jax.random.PRNGKey(2 + i))
     _ = float(losses[-1])
     dt = time.perf_counter() - t0
     return dt / (iters * scan_len) * 1e3
@@ -616,18 +622,18 @@ def bench_dngf_step(batch: int = 8, iters: int = 3, scan_len: int = 2):
     state = GT.create_grasp_train_state(model, params)
 
     @jax.jit
-    def run(state, _):
+    def run(state, inputs, labels):
         def step(st, i):
             st, metrics = GT.delta_ngf_train_step(st, inputs, labels)
             return st, metrics["landscape_loss"]
 
         return jax.lax.scan(step, state, jnp.arange(scan_len))
 
-    st, losses = run(state, 0)
+    st, losses = run(state, inputs, labels)
     _ = float(losses[-1])
     t0 = time.perf_counter()
     for i in range(iters):
-        st, losses = run(st, i)
+        st, losses = run(st, inputs, labels)
     _ = float(losses[-1])
     dt = time.perf_counter() - t0
     return dt / (iters * scan_len) * 1e3
@@ -647,18 +653,20 @@ def bench_clip(batch: int = 32, iters: int = 4):
                        jnp.float32)
     params = model.init(jax.random.PRNGKey(0), imgs)
 
+    # tower params as a jit ARGUMENT, not a closed-over constant — 324 MB
+    # of jaxpr constants otherwise ride in every remote-compile request
     @jax.jit
-    def run(imgs):
+    def run(params, imgs):
         def step(c, _):
             out = model.apply(params, imgs + c.astype(imgs.dtype) * 0)
             return c + out[0].astype(jnp.float32).sum() * 0, None
         acc, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(4))
         return acc
 
-    _ = float(run(imgs))
+    _ = float(run(params, imgs))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = run(imgs)
+        out = run(params, imgs)
     _ = float(out)
     dt = (time.perf_counter() - t0) / (iters * 4)
     return batch / dt
